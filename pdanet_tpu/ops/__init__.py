@@ -1,0 +1,30 @@
+from . import ball_query, geometry, grouping, interpolate, nms, rotated_iou, sampling
+from .ball_query import ball_query as ball_query_op  # noqa: F401
+from .geometry import (  # noqa: F401
+    boxes_to_corners_3d,
+    enlarge_box3d,
+    in_box_mask,
+    points_in_boxes,
+    rotate_points_along_z,
+)
+from .grouping import gather_points, gaussian_density, group_points  # noqa: F401
+from .interpolate import three_interpolate, three_nn  # noqa: F401
+from .nms import nms_rotated  # noqa: F401
+from .rotated_iou import boxes_iou3d, boxes_iou_bev, boxes_overlap_bev  # noqa: F401
+from .sampling import (  # noqa: F401
+    calc_square_dist,
+    ds_fps,
+    farthest_point_sample,
+    farthest_point_sample_with_dist,
+    ry_fps,
+)
+
+__all__ = [
+    "ball_query",
+    "geometry",
+    "grouping",
+    "interpolate",
+    "nms",
+    "rotated_iou",
+    "sampling",
+]

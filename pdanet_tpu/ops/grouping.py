@@ -1,0 +1,43 @@
+"""Gather / grouping ops — pure XLA gathers, differentiable for free.
+
+Replaces ``gather_operation`` (sampling_gpu.cu:8-88) and
+``grouping_operation`` (group_points_gpu.cu:14-92).  On TPU these are plain
+``take_along_axis`` gathers; JAX autodiff gives the deterministic
+scatter-add backward that the CUDA kernels hand-roll with atomicAdd.
+
+Layout note: this framework is channels-last — features are (B, N, C)
+rather than the reference's (B, C, N) — which maps C onto TPU lanes.
+"""
+
+import jax.numpy as jnp
+
+
+def gather_points(features, idx):
+    """(B, N, C) x (B, M) int -> (B, M, C)."""
+    return jnp.take_along_axis(features, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(features, idx):
+    """(B, N, C) x (B, M, K) int -> (B, M, K, C)."""
+    B, N, C = features.shape
+    M, K = idx.shape[1], idx.shape[2]
+    flat = jnp.take_along_axis(
+        features, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1
+    )
+    return flat.reshape(B, M, K, C)
+
+
+def gaussian_density(grouped_xyz, centers, radius):
+    """Gaussian point density of each neighbor w.r.t. its center.
+
+    Matches ``QueryAndGroup_alone_grouped_density_directional``
+    (pointnet2_utils.py:594-597): exp(-d^2 / (2 r^2)) / (2.5 r).
+
+    Args:
+        grouped_xyz: (B, M, K, 3) absolute neighbor coordinates.
+        centers: (B, M, 3).
+    Returns:
+        (B, M, K) densities.
+    """
+    d2 = jnp.sum(jnp.square(grouped_xyz - centers[:, :, None, :]), axis=-1)
+    return jnp.exp(-d2 / (2.0 * radius * radius)) / (2.5 * radius)
