@@ -16,3 +16,6 @@ Public API mirrors pcdet: ``build_network``, dataset builders, YAML configs.
 """
 
 __version__ = "0.1.0"
+
+from . import ops  # noqa: E402,F401
+from .config import cfg, cfg_from_list, cfg_from_yaml_file  # noqa: E402,F401

@@ -1,0 +1,443 @@
+"""IA-SSD / PDA-SSD backbone (flax.linen, dense channels-last tensors).
+
+Rebuilds the reference stack TPU-first:
+
+* ``PointnetSAModuleMSG_WithSampling``            — pointnet2_modules.py:1417-1686
+* ``PointnetSAModuleMSG_WithSampling_Ellipsoid``  — pointnet2_modules.py:541-954
+  (the PDA module: density / position / global / raw branches fused by a
+  K-neighbor transformer)
+* ``Vote_layer``                                  — pointnet2_modules.py:1689-1753
+* ``IASSD_Backbone``                              — models/backbones_3d/IASSD_backbone.py:9-240
+
+Design deltas (TPU-native, not behavioral):
+* All tensors are dense ``(B, N, C)`` — the reference flattens to
+  ``(B*N, 1+C)`` rows with a batch-index column and immediately reshapes
+  back (IASSD_backbone.py:133-139); we skip the round-trip.
+* Grouping/gather are XLA gathers; ball query/FPS come from
+  ``pdanet_tpu.ops`` with exact CUDA padding semantics.
+* The per-center transformer runs on ``(B, M, K, D)`` directly; K stays the
+  token axis, so the MXU sees batched (K x D) attention without the
+  reference's permute/reshape traffic.
+"""
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.ball_query import ball_query
+from ...ops.grouping import gather_points, group_points
+from ...ops.sampling import (
+    calc_square_dist,
+    ds_fps,
+    farthest_point_sample,
+    farthest_point_sample_with_dist,
+    ry_fps,
+)
+from ..blocks import DenseBNReLU, DensityNet, MLPStack, TransformerEncoderLayerPreNorm
+
+
+def sample_indices(
+    sample_type: str,
+    npoint: int,
+    xyz: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    cls_features: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Sampling dispatch (pointnet2_modules.py:1556-1644).
+
+    Args:
+        xyz: (B, N, 3); features: (B, N, C) or None;
+        cls_features: (B, N, num_class) or None.
+    Returns:
+        (B, npoint) int32 indices.
+    """
+    B, N, _ = xyz.shape
+    if N <= npoint:  # no-downsample passthrough (:1562)
+        return jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    if ("cls" in sample_type) or ("ctr" in sample_type):
+        score = jax.nn.sigmoid(jnp.max(cls_features, axis=-1))  # (B, N)
+        _, idx = jax.lax.top_k(score, npoint)
+        return idx.astype(jnp.int32)
+    if "D-FPS" in sample_type or "DFS" in sample_type:
+        return farthest_point_sample(xyz, npoint)
+    if "F-FPS" in sample_type or "FFS" in sample_type:
+        feats_ssd = jnp.concatenate([xyz, features], axis=-1)
+        dist = calc_square_dist(feats_ssd, feats_ssd)
+        return farthest_point_sample_with_dist(dist, npoint)
+    if sample_type == "FS":
+        feats_ssd = jnp.concatenate([xyz, features], axis=-1)
+        dist = calc_square_dist(feats_ssd, feats_ssd)
+        idx1 = farthest_point_sample_with_dist(dist, npoint)
+        idx2 = farthest_point_sample(xyz, npoint)
+        return jnp.concatenate([idx1, idx2], axis=-1)
+    if sample_type in ("ds_FPS", "ds-FPS"):
+        return ds_fps(xyz, npoint)
+    if sample_type in ("ry_FPS", "ry-FPS"):
+        return ry_fps(xyz, npoint)
+    raise NotImplementedError(f"sample_type={sample_type}")
+
+
+def run_sampling(
+    sample_type_list: Sequence[str],
+    sample_range_list: Sequence[int],
+    npoint_list: Sequence[int],
+    xyz: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    cls_features: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Multi-segment sampling loop (pointnet2_modules.py:1541-1646)."""
+    out = []
+    last_end = 0
+    for sample_type, sample_range, npoint in zip(
+        sample_type_list, sample_range_list, npoint_list
+    ):
+        if npoint <= 0:
+            continue
+        if sample_range == -1:
+            sl = slice(last_end, None)
+        else:
+            sl = slice(last_end, sample_range)
+            last_end += sample_range
+        xyz_tmp = xyz[:, sl, :]
+        feat_tmp = features[:, sl, :] if features is not None else None
+        cls_tmp = cls_features[:, sl, :] if cls_features is not None else None
+        idx = sample_indices(sample_type, npoint, xyz_tmp, feat_tmp, cls_tmp)
+        out.append(idx + sl.start if sl.start else idx)
+    return jnp.concatenate(out, axis=-1)
+
+
+class QueryGroupDensityDirectional(nn.Module):
+    """``QueryAndGroup_alone_grouped_density_directional``
+    (pointnet2_utils.py:557-614): ball query then per-neighbor channels
+    [abs_xyz(3) | gaussian_density(1) | unit_dir(3) | features(C)].
+
+    Channels-last: returns a tuple instead of one packed tensor.
+    """
+
+    radius: float
+    nsample: int
+
+    def __call__(self, xyz, new_xyz, features):
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+        grouped_xyz = group_points(xyz, idx)  # (B, M, K, 3) absolute
+        d2 = jnp.sum(
+            jnp.square(grouped_xyz - new_xyz[:, :, None, :]), axis=-1
+        )  # (B, M, K)
+        density = jnp.exp(-d2 / (2.0 * self.radius**2)) / (2.5 * self.radius)
+        direction = (grouped_xyz - new_xyz[:, :, None, :]) / self.radius
+        grouped_feats = group_points(features, idx)
+        return grouped_xyz, density[..., None], direction, grouped_feats
+
+
+class SAModuleWithSampling(nn.Module):
+    """IA-SSD SA layer (pointnet2_modules.py:1417-1686), channels-last.
+
+    forward contract matches the reference: (xyz, features, cls_features,
+    ctr_xyz) -> (new_xyz, new_features, cls_preds, sampled_idx).
+    """
+
+    npoint_list: Sequence[int]
+    sample_range_list: Sequence[int]
+    sample_type_list: Sequence[str]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # each already [channel_in + 3, ...]
+    aggregation_mlp: Optional[Sequence[int]]
+    confidence_mlp: Optional[Sequence[int]]
+    num_class: int
+
+    @nn.compact
+    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
+        sampled_idx = None
+        if ctr_xyz is None:
+            sampled_idx = run_sampling(
+                self.sample_type_list,
+                self.sample_range_list,
+                self.npoint_list,
+                xyz,
+                features,
+                cls_features,
+            )
+            new_xyz = gather_points(xyz, sampled_idx)
+        else:
+            new_xyz = ctr_xyz
+
+        if len(self.radii) > 0:
+            scale_feats = []
+            for i, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
+                idx = ball_query(radius, nsample, xyz, new_xyz)
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                grouped = jnp.concatenate(
+                    [grouped_xyz, group_points(features, idx)], axis=-1
+                )
+                h = MLPStack(tuple(self.mlps[i][1:]), name=f"mlps_{i}")(grouped, train)
+                scale_feats.append(jnp.max(h, axis=2))  # maxpool over K
+            new_features = jnp.concatenate(scale_feats, axis=-1)
+            if self.aggregation_mlp:
+                new_features = MLPStack(
+                    tuple(self.aggregation_mlp), name="aggregation_layer"
+                )(new_features, train)
+        else:
+            new_features = gather_points(features, sampled_idx)
+
+        cls_preds = None
+        if self.confidence_mlp:
+            h = MLPStack(tuple(self.confidence_mlp), name="confidence_mlp")(
+                new_features, train
+            )
+            cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
+        return new_xyz, new_features, cls_preds, sampled_idx
+
+
+class SAModuleEllipsoid(nn.Module):
+    """The PDA SA layer (pointnet2_modules.py:541-954).
+
+    Per radius scale, four branches over the grouped neighborhood —
+    (a) density-scaled features via DensityNet (:983-1006),
+    (b) RPPE position encoding MLP(12 -> d/2 -> d) (:634-641, :905-915),
+    (c) a global per-center MLP broadcast to neighbors (:643-650, :887),
+    (d) raw grouped features — concatenated to 4d channels and fused by a
+    pre-norm transformer across the K neighbors (:920-929), max-pooled and
+    projected by fin_conv (:664-671, :931-933).
+    """
+
+    npoint_list: Sequence[int]
+    sample_range_list: Sequence[int]
+    sample_type_list: Sequence[str]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # each [channel_in, ...] (no +3)
+    aggregation_mlp: Optional[Sequence[int]]
+    confidence_mlp: Optional[Sequence[int]]
+    num_class: int
+
+    @nn.compact
+    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
+        sampled_idx = None
+        if ctr_xyz is None:
+            sampled_idx = run_sampling(
+                self.sample_type_list,
+                self.sample_range_list,
+                self.npoint_list,
+                xyz,
+                features,
+                cls_features,
+            )
+            new_xyz = gather_points(xyz, sampled_idx)
+            new_xyz_feature = gather_points(features, sampled_idx)
+        else:
+            new_xyz = ctr_xyz
+            new_xyz_feature = None
+
+        if len(self.radii) > 0:
+            # (B, M, 3 + C): per-center global descriptor (:748)
+            global_input = jnp.concatenate([new_xyz, new_xyz_feature], axis=-1)
+            scale_feats = []
+            for i, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
+                d = self.mlps[i][0]
+                grouped_xyz, density, direction, grouped_feats = (
+                    QueryGroupDensityDirectional(radius, nsample, name=f"groupers_{i}")(
+                        xyz, new_xyz, features
+                    )
+                )
+                # (a) density branch (:799-806)
+                dmax = jnp.max(density, axis=2, keepdims=True)
+                density_scale = DensityNet(name=f"point_density_{i}")(
+                    density / dmax, train
+                )
+                feat_density = grouped_feats * density_scale
+                # (b) RPPE (:812-824): [center | neighbor | center-neighbor | dir]
+                centers_k = jnp.broadcast_to(
+                    new_xyz[:, :, None, :], grouped_xyz.shape
+                )
+                rppe = jnp.concatenate(
+                    [centers_k, grouped_xyz, centers_k - grouped_xyz, direction],
+                    axis=-1,
+                )
+                rppe = MLPStack((d // 2, d), name=f"position_mlp_{i}")(rppe, train)
+                # (c) global branch, broadcast over K (:787)
+                g = MLPStack((d, d), name=f"global_mlps_{i}")(global_input, train)
+                g_k = jnp.broadcast_to(g[:, :, None, :], rppe.shape[:3] + (d,))
+                # fuse: (B, M, K, 4d) -> transformer over K -> maxpool -> fin_conv
+                fused = jnp.concatenate([rppe, feat_density, grouped_feats, g_k], axis=-1)
+                fused = TransformerEncoderLayerPreNorm(
+                    d_model=4 * d,
+                    nhead=4,
+                    dim_feedforward=2 * d,
+                    name=f"Local_pointformer_{i}",
+                )(fused, train)
+                pooled = jnp.max(fused, axis=2)  # (B, M, 4d)
+                out = MLPStack((2 * d, self.mlps[i][-1]), name=f"fin_conv_{i}")(
+                    pooled, train
+                )
+                scale_feats.append(out)
+            new_features = jnp.concatenate(scale_feats, axis=-1)
+            if self.aggregation_mlp:
+                new_features = MLPStack(
+                    tuple(self.aggregation_mlp), name="aggregation_layer"
+                )(new_features, train)
+        else:
+            new_features = gather_points(features, sampled_idx)
+
+        cls_preds = None
+        if self.confidence_mlp:
+            h = MLPStack(tuple(self.confidence_mlp), name="confidence_mlp")(
+                new_features, train
+            )
+            cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
+        return new_xyz, new_features, cls_preds, sampled_idx
+
+
+class VoteLayer(nn.Module):
+    """Center-shift voting (pointnet2_modules.py:1689-1753)."""
+
+    mlp_list: Sequence[int]
+    max_translate_range: Optional[Sequence[float]]
+
+    @nn.compact
+    def __call__(self, xyz, features, train=False):
+        h = features
+        if self.mlp_list:
+            h = MLPStack(tuple(self.mlp_list), name="mlp_modules")(h, train)
+        ctr_offsets = nn.Dense(3, use_bias=True, name="ctr_reg")(h)  # (B, N, 3)
+        if self.max_translate_range is not None:
+            limit = jnp.asarray(self.max_translate_range, dtype=ctr_offsets.dtype)
+            limited = jnp.clip(ctr_offsets, -limit, limit)
+            vote_xyz = xyz + limited
+        else:
+            vote_xyz = xyz + ctr_offsets
+        return vote_xyz, xyz, ctr_offsets
+
+
+class IASSDBackbone(nn.Module):
+    """SA-stack backbone (IASSD_backbone.py:9-240).
+
+    Input: points (B, N, 3 + C) dense, channels = [x, y, z, feats...].
+    Output dict keys (dense analogues of the reference's flat tensors):
+        centers (B, M, 3), centers_origin, ctr_offsets, centers_features,
+        encoder_xyz: list[(B, Ni, 3)], sa_ins_preds: list (per SA layer,
+        (B, Ni, num_class) or None), encoder_coords: list[(B, Ni, 3)] in the
+        reference's indexing (incl. the centers_origin entry inserted at the
+        vote layer, IASSD_backbone.py:161).
+    """
+
+    model_cfg: Any
+    num_class: int
+    input_channels: int
+
+    def setup(self):
+        from ...utils.easydict import EasyDict
+
+        # linen freezes dict attributes; restore attribute access.
+        sa_cfg = EasyDict(self.model_cfg).SA_CONFIG
+        self.layer_types = sa_cfg.LAYER_TYPE
+        self.ctr_idx_list = sa_cfg.CTR_INDEX
+        self.layer_inputs = sa_cfg.LAYER_INPUT
+        aggregation_mlps = sa_cfg.get("AGGREGATION_MLPS", None)
+        confidence_mlps = sa_cfg.get("CONFIDENCE_MLPS", None)
+        max_translate = sa_cfg.get("MAX_TRANSLATE_RANGE", None)
+
+        channel_in = self.input_channels - 3
+        channel_out_list = [channel_in]
+        modules = []
+        for k in range(len(sa_cfg.NSAMPLE_LIST)):
+            layer_input = self.layer_inputs[k]
+            channel_in = channel_out_list[
+                layer_input[-1] if isinstance(layer_input, list) else layer_input
+            ]
+            if self.layer_types[k] == "SA_Layer":
+                mlps = [list(m) for m in sa_cfg.MLPS[k]]
+                channel_out = 0
+                for idx in range(len(mlps)):
+                    mlps[idx] = [channel_in] + mlps[idx]
+                    channel_out += mlps[idx][-1]
+                aggregation_mlp = None
+                if aggregation_mlps and aggregation_mlps[k]:
+                    aggregation_mlp = list(aggregation_mlps[k])
+                    channel_out = aggregation_mlp[-1]
+                confidence_mlp = None
+                if confidence_mlps and confidence_mlps[k]:
+                    confidence_mlp = list(confidence_mlps[k])
+                # PDA placement rule (IASSD_backbone.py:62-94): layers 1-4
+                # use the Ellipsoid (PDA) module, others plain WithSampling.
+                cls = SAModuleWithSampling if (k < 1 or k > 4) else SAModuleEllipsoid
+                if cls is SAModuleWithSampling:
+                    # +3 for the use_xyz concat (pointnet2_modules.py:1480-1481)
+                    mlps_eff = [[m[0] + 3] + m[1:] for m in mlps]
+                else:
+                    mlps_eff = mlps
+                modules.append(
+                    cls(
+                        npoint_list=tuple(sa_cfg.NPOINT_LIST[k]),
+                        sample_range_list=tuple(sa_cfg.SAMPLE_RANGE_LIST[k]),
+                        sample_type_list=tuple(sa_cfg.SAMPLE_METHOD_LIST[k]),
+                        radii=tuple(sa_cfg.RADIUS_LIST[k]),
+                        nsamples=tuple(sa_cfg.NSAMPLE_LIST[k]),
+                        mlps=tuple(tuple(m) for m in mlps_eff),
+                        aggregation_mlp=tuple(aggregation_mlp) if aggregation_mlp else None,
+                        confidence_mlp=tuple(confidence_mlp) if confidence_mlp else None,
+                        num_class=self.num_class,
+                        name=f"SA_modules_{k}",
+                    )
+                )
+            elif self.layer_types[k] == "Vote_Layer":
+                modules.append(
+                    VoteLayer(
+                        mlp_list=tuple(sa_cfg.MLPS[k]),
+                        max_translate_range=tuple(max_translate) if max_translate else None,
+                        name=f"SA_modules_{k}",
+                    )
+                )
+                channel_out = channel_out_list[layer_input]
+            channel_out_list.append(channel_out)
+        self.sa_modules = modules
+        self.num_point_features = channel_out_list[-1]
+
+    def __call__(self, points, train=False):
+        xyz = points[..., 0:3]
+        features = points[..., 3:]
+
+        encoder_xyz: List[jnp.ndarray] = [xyz]
+        encoder_features: List[Optional[jnp.ndarray]] = [features]
+        encoder_coords: List[jnp.ndarray] = [xyz]
+        sa_ins_preds: List[Optional[jnp.ndarray]] = []
+
+        li_cls_pred = None
+        centers = centers_origin = ctr_offsets = None
+        for i, module in enumerate(self.sa_modules):
+            xyz_input = encoder_xyz[self.layer_inputs[i]]
+            feature_input = encoder_features[self.layer_inputs[i]]
+            if self.layer_types[i] == "SA_Layer":
+                ctr_xyz = (
+                    encoder_xyz[self.ctr_idx_list[i]]
+                    if self.ctr_idx_list[i] != -1
+                    else None
+                )
+                li_xyz, li_features, li_cls_pred, _ = module(
+                    xyz_input, feature_input, li_cls_pred, ctr_xyz=ctr_xyz, train=train
+                )
+            else:  # Vote_Layer
+                li_xyz, xyz_select, ctr_offsets = module(
+                    xyz_input, feature_input, train=train
+                )
+                li_features = feature_input  # reference returns empty; unused
+                centers = li_xyz
+                centers_origin = xyz_select
+                encoder_coords.append(centers_origin)
+            encoder_xyz.append(li_xyz)
+            encoder_coords.append(li_xyz)
+            encoder_features.append(li_features)
+            sa_ins_preds.append(li_cls_pred if li_cls_pred is not None else None)
+
+        return {
+            "centers": centers,
+            "centers_origin": centers_origin,
+            "ctr_offsets": ctr_offsets,
+            "centers_features": encoder_features[-1],
+            "encoder_xyz": encoder_xyz,
+            "encoder_coords": encoder_coords,
+            "encoder_features": encoder_features,
+            "sa_ins_preds": sa_ins_preds,
+        }

@@ -1,0 +1,103 @@
+"""Shared neural blocks (flax.linen, channels-last).
+
+The reference's 1x1 Conv1d/Conv2d + BatchNorm + ReLU stacks become Dense +
+BatchNorm over the trailing channel axis — identical math, and channels-last
+puts C on TPU lanes so every pointwise MLP is an MXU matmul.
+
+Parity notes:
+* BatchNorm matches torch defaults: eps=1e-5, momentum 0.1 (flax
+  ``momentum=0.9``), batch statistics over all non-channel axes — the same
+  reduction as BatchNorm1d/2d on (B, C, N[, K]) because the reference never
+  pads point budgets (SURVEY.md §7 hard-part 5).
+* ``TransformerEncoderLayerPreNorm`` mirrors
+  ``PointFormer.TransformerEncoderLayerPreNorm`` (PointFormer.py:7-39)
+  including its quirk: the residual is added to the *normalized* input.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DenseBNReLU(nn.Module):
+    """Dense -> BatchNorm -> ReLU over the trailing axis (a 1x1 conv)."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.features, use_bias=self.use_bias, name="dense")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class MLPStack(nn.Module):
+    """A stack of Dense+BN+ReLU layers (reference shared_mlps pattern)."""
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, f in enumerate(self.features):
+            x = DenseBNReLU(f, name=f"layer{i}")(x, train)
+        return x
+
+
+class DensityNet(nn.Module):
+    """MLP(1->16->8->1) over group densities (pointnet2_modules.py:956-979).
+
+    Faithful to the reference *as executed*: the ``if i == len(...)`` branch
+    there never fires, so every layer (including the last) is BN + ReLU —
+    no sigmoid.
+    """
+
+    hidden: Sequence[int] = (16, 8)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, f in enumerate(tuple(self.hidden) + (1,)):
+            x = nn.Dense(f, use_bias=True, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class TransformerEncoderLayerPreNorm(nn.Module):
+    """Pre-norm self-attention over the K neighbors of each center.
+
+    Token axis = K (<=64), batch = (B, npoint) — attention stays tiny and
+    batched, exactly the reference's (nsample, B*npoint, C) layout but
+    without the host-visible reshapes (PointFormer.py:30-39).
+
+    Quirk preserved: ``src = norm1(src); src = src + attn(src)`` — the
+    residual base is the *normalized* tensor.
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, M, K, D)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            use_bias=True,
+            name="self_attn",
+        )(x, x)
+        x = x + attn
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return x + h

@@ -19,7 +19,12 @@ class EasyDict(dict):
 
     @staticmethod
     def _wrap(value):
-        if isinstance(value, dict) and not isinstance(value, EasyDict):
+        # Mapping covers plain dicts and flax FrozenDicts (linen freezes
+        # dict-valued module attributes; converting back keeps attribute
+        # access and .get working inside setup()).
+        from collections.abc import Mapping
+
+        if isinstance(value, Mapping) and not isinstance(value, EasyDict):
             return EasyDict(value)
         if isinstance(value, (list, tuple)):
             wrapped = [EasyDict._wrap(x) for x in value]
