@@ -32,9 +32,30 @@ def log_config_to_file(cfg_node, pre="cfg", logger=None):
         logger.info("%s.%s: %s" % (pre, key, val))
 
 
-def merge_new_config(config, new_config):
+def _resolve_base_config(base_path, cfg_dir):
+    """Resolve a ``_BASE_CONFIG_`` reference.
+
+    The reference resolves it against the CWD (the CLIs run from tools/,
+    pcdet/config.py:52); additionally try relative to the including file
+    and its ancestors so configs load from any working directory.
+    """
+    candidates = [Path(base_path)]
+    if cfg_dir is not None:
+        d = Path(cfg_dir)
+        for up in [d, d.parent, d.parent.parent, d.parent.parent.parent]:
+            candidates.append(up / base_path)
+    for cand in candidates:
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(
+        f"_BASE_CONFIG_ {base_path!r} not found (tried {[str(c) for c in candidates]})"
+    )
+
+
+def merge_new_config(config, new_config, cfg_dir=None):
     if "_BASE_CONFIG_" in new_config:
-        with open(new_config["_BASE_CONFIG_"], "r") as f:
+        base = _resolve_base_config(new_config["_BASE_CONFIG_"], cfg_dir)
+        with open(base, "r") as f:
             yaml_config = yaml.safe_load(f)
         config.update(EasyDict(yaml_config))
 
@@ -46,7 +67,7 @@ def merge_new_config(config, new_config):
             continue
         if key not in config:
             config[key] = EasyDict()
-        merge_new_config(config[key], val)
+        merge_new_config(config[key], val, cfg_dir=cfg_dir)
 
     return config
 
@@ -55,7 +76,10 @@ def cfg_from_yaml_file(cfg_file, config=None):
     config = cfg if config is None else config
     with open(cfg_file, "r") as f:
         new_config = yaml.safe_load(f)
-        merge_new_config(config=config, new_config=new_config)
+        merge_new_config(
+            config=config, new_config=new_config,
+            cfg_dir=Path(cfg_file).resolve().parent,
+        )
     return config
 
 

@@ -1,0 +1,108 @@
+"""Host-side common utilities (numpy) — counterpart of
+``pcdet/utils/common_utils.py`` minus the torch/NCCL machinery (JAX
+collectives replace it; see pdanet_tpu.parallel)."""
+
+import logging
+import os
+import pickle
+import random
+import shutil
+
+import numpy as np
+
+
+def check_numpy_to_float(x):
+    return float(x) if isinstance(x, np.generic) else x
+
+
+def limit_period(val, offset=0.5, period=np.pi):
+    """Wrap angle into [-offset*period, (1-offset)*period)
+    (common_utils.py:73-80)."""
+    return val - np.floor(val / period + offset) * period
+
+
+def rotate_points_along_z_np(points, angle):
+    """numpy twin of ops.geometry.rotate_points_along_z.
+
+    Args:
+        points: (B, N, 3 + C); angle: (B,) radians.
+    """
+    cosa = np.cos(angle)
+    sina = np.sin(angle)
+    zeros = np.zeros_like(angle)
+    ones = np.ones_like(angle)
+    rot = np.stack(
+        [cosa, sina, zeros, -sina, cosa, zeros, zeros, zeros, ones], axis=1
+    ).reshape(-1, 3, 3)
+    xyz = np.matmul(points[:, :, 0:3], rot)
+    return np.concatenate([xyz, points[:, :, 3:]], axis=-1)
+
+
+def drop_info_with_name(info, name):
+    """Filter annotation rows whose name == ``name`` (common_utils.py:59-66)."""
+    ret = {}
+    keep = [i for i, x in enumerate(info["name"]) if x != name]
+    for key in info.keys():
+        if key == "gt_boxes_lidar" or isinstance(info[key], np.ndarray):
+            ret[key] = info[key][keep] if len(info[key]) == len(info["name"]) else info[key]
+        else:
+            ret[key] = info[key]
+    return ret
+
+
+def keep_arrays_by_name(gt_names, used_classes):
+    inds = [i for i, x in enumerate(gt_names) if x in used_classes]
+    return np.array(inds, dtype=np.int64)
+
+
+def create_logger(log_file=None, rank=0, log_level=logging.INFO):
+    """Rank-0 console+file logger (common_utils.py:85-99)."""
+    logger = logging.getLogger(__name__ + str(random.random()))
+    logger.setLevel(log_level if rank == 0 else logging.ERROR)
+    formatter = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
+    console = logging.StreamHandler()
+    console.setLevel(log_level if rank == 0 else logging.ERROR)
+    console.setFormatter(formatter)
+    logger.addHandler(console)
+    if log_file is not None:
+        fh = logging.FileHandler(log_file)
+        fh.setLevel(log_level if rank == 0 else logging.ERROR)
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+def set_random_seed(seed):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def merge_results_dist(result_part, size, tmpdir):
+    """Multi-process eval merge via pickle files on a shared FS
+    (common_utils.py:201-222).  Kept host-side for robustness; JAX
+    process_allgather is used on-device instead where possible."""
+    import jax
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, f"result_part_{rank}.pkl"), "wb") as f:
+        pickle.dump(result_part, f)
+    # barrier via jax collective
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("merge_results")
+    if rank != 0:
+        return None
+    part_list = []
+    for i in range(world):
+        with open(os.path.join(tmpdir, f"result_part_{i}.pkl"), "rb") as f:
+            part_list.append(pickle.load(f))
+    ordered = []
+    for res in zip(*part_list):
+        ordered.extend(list(res))
+    ordered = ordered[:size]
+    shutil.rmtree(tmpdir)
+    return ordered
