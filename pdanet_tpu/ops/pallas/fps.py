@@ -1,0 +1,101 @@
+"""Pallas TPU kernel for farthest-point sampling.
+
+FPS is the one irreducibly sequential hot op (SURVEY.md §7 hard-part 1):
+iteration j needs the argmax of the running min-distance field.  The XLA
+``fori_loop`` formulation pays per-iteration loop overhead + HBM traffic
+(~16 us/step -> 67 ms for the 16384->4096 KITTI layer, 95% of the whole
+forward).  This kernel runs the entire m-step loop inside ONE Pallas
+program per batch row with everything resident in VMEM:
+
+  - points live as three (R, 128) planes (x, y, z), lanes along N,
+  - the running min-distance field ``temp`` is a VMEM scratch,
+  - per step: vectorized distance update + two-stage argmax (max, then
+    first-match linear index via masked min over an iota) — ties resolve
+    to the lowest index, identical to the CUDA tree reduction for real
+    data and to the XLA fallback (sampling_gpu.cu:94-209 semantics:
+    first index 0, temp init 1e10),
+  - selected indices are written with a masked vector update into the
+    (npoint_r, 128) output plane (Mosaic cannot store scalars to VMEM).
+
+N must be a multiple of 128 (every shipped config's budget is); npoint is
+padded up to a lane multiple and sliced by the caller.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_BIG = 1e10  # python literal: jnp constants would be captured by the kernel
+
+
+def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
+    # blocks: xs/ys/zs (1, R, 128); out (1, P, 128) int32; temp (R, 128)
+    R = xs_ref.shape[1]
+    N = R * _LANES
+    P = out_ref.shape[1]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    lin_out = jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 1)
+
+    temp_ref[:, :] = jnp.full((R, _LANES), _BIG, dtype=jnp.float32)
+    out_ref[0, :, :] = jnp.zeros((P, _LANES), dtype=jnp.int32)
+
+    def body(j, last):
+        # Mosaic has no dynamic-lane scalar loads; select the current
+        # point's coordinates with a masked reduction instead.
+        sel = lin == last
+        xs = xs_ref[0, :, :]
+        ys = ys_ref[0, :, :]
+        zs = zs_ref[0, :, :]
+        cx = jnp.sum(jnp.where(sel, xs, 0.0))
+        cy = jnp.sum(jnp.where(sel, ys, 0.0))
+        cz = jnp.sum(jnp.where(sel, zs, 0.0))
+        dx = xs - cx
+        dy = ys - cy
+        dz = zs - cz
+        d = dx * dx + dy * dy + dz * dz
+        t = jnp.minimum(temp_ref[:, :], d)
+        temp_ref[:, :] = t
+        m = jnp.max(t)
+        # first linear index attaining the max (lowest-index tie-break)
+        best = jnp.min(jnp.where(t >= m, lin, N))
+        out_ref[0, :, :] = jnp.where(lin_out == j, best, out_ref[0, :, :])
+        return best
+
+    jax.lax.fori_loop(1, npoint, body, 0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample_pallas(xyz, npoint):
+    """(B, N, 3) -> (B, npoint) int32, N % 128 == 0."""
+    B, N, _ = xyz.shape
+    assert N % _LANES == 0, f"N={N} must be a multiple of {_LANES}"
+    R = N // _LANES
+    P = (npoint + _LANES - 1) // _LANES  # output rows (lane-padded)
+    planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1)).reshape(
+        B, 3, R, _LANES
+    )
+    xs, ys, zs = planes[:, 0], planes[:, 1], planes[:, 2]
+
+    out = pl.pallas_call(
+        partial(_fps_kernel, npoint),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, _LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), jnp.float32)],
+    )(xs, ys, zs)
+    return out.reshape(B, P * _LANES)[:, :npoint]

@@ -24,9 +24,13 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(xyz, npoint):
     """Distance-FPS (D-FPS).
+
+    Dispatches to the Pallas VMEM-resident kernel on TPU (the XLA loop
+    costs ~16 us/step in loop overhead; the kernel runs the whole m-loop
+    on-chip) and to the XLA ``fori_loop`` elsewhere — identical outputs
+    (first index 0, lowest-index tie-break).
 
     Args:
         xyz: (B, N, 3) float32
@@ -34,6 +38,16 @@ def farthest_point_sample(xyz, npoint):
     Returns:
         (B, npoint) int32 indices.
     """
+    N = xyz.shape[1]
+    if jax.default_backend() == "tpu" and N % 128 == 0:
+        from .pallas.fps import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(xyz, npoint)
+    return _farthest_point_sample_xla(xyz, npoint)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def _farthest_point_sample_xla(xyz, npoint):
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 

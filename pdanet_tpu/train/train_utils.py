@@ -1,0 +1,222 @@
+"""Training runtime — counterpart of ``tools/train_utils/train_utils.py``.
+
+``train_one_epoch`` (reference :11-96): per-iter scheduled LR (stepped by
+global iteration), forward+backward, grad-clip, step, timing meters.
+Here the whole iteration is ONE jitted function (forward, loss, grad,
+all-reduce, optimizer update, BN stat update) laid out over the data mesh.
+
+``train_model`` (reference :99-146): epoch loop, per-epoch sampler seed,
+rolling checkpoint retention.
+"""
+
+import glob
+import os
+import pickle
+import time
+from typing import Any, Dict
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.detectors.iassd import compute_loss
+from ..parallel import batch_sharding, make_data_mesh, replicate, shard_batch
+from ..utils.box_coder_utils import build_box_coder
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, variables, tx):
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, tx, model_cfg, num_class):
+    """One fully-fused training iteration (jit once, run every step)."""
+    head_cfg = model_cfg.POINT_HEAD
+    box_coder = build_box_coder(
+        head_cfg.TARGET_CONFIG.BOX_CODER, head_cfg.TARGET_CONFIG.BOX_CODER_CONFIG
+    )
+
+    def train_step(state: TrainState, points, gt_boxes):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, tb = compute_loss(out, gt_boxes, model_cfg, box_coder, num_class)
+            return loss, (tb, mut["batch_stats"])
+
+        (loss, (tb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss, tb
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh, donate=True):
+    """jit over the data mesh: state replicated, batch axis sharded.
+
+    ``donate`` reuses the input state's buffers for the output (halves
+    peak param/opt memory); pass False when the caller must keep the
+    input state alive (e.g. comparing runs from one starting point).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (reference train_utils.py:148-182): rolling retention,
+# optimizer state included; stored as a pickled numpy pytree.
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_state(state: TrainState, epoch: int, it: int):
+    to_np = lambda t: jax.tree.map(np.asarray, t)
+    return {
+        "epoch": epoch,
+        "it": it,
+        "model_state": {
+            "params": to_np(state.params),
+            "batch_stats": to_np(state.batch_stats),
+        },
+        "optimizer_state": to_np(state.opt_state),
+        "version": "pdanet_tpu+r1",
+    }
+
+
+def save_checkpoint(ckpt, filename="checkpoint"):
+    filename = "{}.pkl".format(filename)
+    with open(filename, "wb") as f:
+        pickle.dump(ckpt, f)
+    return filename
+
+
+def load_checkpoint(filename):
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_train_state(ckpt, state: TrainState, tx=None, with_optimizer=True):
+    params = jax.tree.map(jnp.asarray, ckpt["model_state"]["params"])
+    batch_stats = jax.tree.map(jnp.asarray, ckpt["model_state"]["batch_stats"])
+    opt_state = state.opt_state
+    if with_optimizer and ckpt.get("optimizer_state") is not None:
+        opt_state = jax.tree.map(
+            lambda ref, saved: jnp.asarray(saved),
+            state.opt_state,
+            ckpt["optimizer_state"],
+        )
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.asarray(ckpt["it"], jnp.int32),
+    )
+
+
+def train_model(
+    model,
+    state,
+    tx,
+    train_loader,
+    model_cfg,
+    optim_cfg,
+    num_class,
+    start_epoch,
+    total_epochs,
+    ckpt_save_dir,
+    lr_fn=None,
+    ckpt_save_interval=1,
+    max_ckpt_save_num=8,
+    logger=None,
+    mesh=None,
+    tb_log=None,
+):
+    """Epoch loop (reference train_utils.py:99-146)."""
+    mesh = mesh if mesh is not None else make_data_mesh()
+    train_step = jit_train_step(
+        make_train_step(model, tx, model_cfg, num_class), mesh
+    )
+    state = replicate(mesh, state)
+    accumulated_iter = int(state.step)
+
+    for cur_epoch in range(start_epoch, total_epochs):
+        train_loader.set_epoch(cur_epoch)
+        end = time.time()
+        for batch in train_loader:
+            data_time = time.time() - end
+            points = batch["points"]
+            gt_boxes = batch["gt_boxes"]
+            dev_batch = shard_batch(
+                mesh, {"points": points, "gt_boxes": gt_boxes}
+            )
+            state, loss, tb = train_step(
+                state, dev_batch["points"], dev_batch["gt_boxes"]
+            )
+            loss = float(loss)
+            accumulated_iter += 1
+            batch_time = time.time() - end
+            end = time.time()
+            if logger is not None and accumulated_iter % 50 == 0:
+                cur_lr = float(lr_fn(accumulated_iter)) if lr_fn else float("nan")
+                logger.info(
+                    "epoch %d iter %d loss %.4f lr %.6f data %.3fs iter %.3fs"
+                    % (cur_epoch, accumulated_iter, loss, cur_lr, data_time,
+                       batch_time)
+                )
+            if tb_log is not None:
+                tb_log.add_scalar("train/loss", loss, accumulated_iter)
+                for k, v in tb.items():
+                    tb_log.add_scalar(f"train/{k}", float(v), accumulated_iter)
+
+        trained_epoch = cur_epoch + 1
+        if trained_epoch % ckpt_save_interval == 0:
+            ckpt_list = sorted(
+                glob.glob(str(ckpt_save_dir / "checkpoint_epoch_*.pkl")),
+                key=os.path.getmtime,
+            )
+            if len(ckpt_list) >= max_ckpt_save_num:
+                for cur_file_idx in range(
+                    0, len(ckpt_list) - max_ckpt_save_num + 1
+                ):
+                    os.remove(ckpt_list[cur_file_idx])
+            ckpt_name = ckpt_save_dir / ("checkpoint_epoch_%d" % trained_epoch)
+            save_checkpoint(
+                checkpoint_state(state, trained_epoch, accumulated_iter),
+                filename=str(ckpt_name),
+            )
+            if logger is not None:
+                logger.info("checkpoint saved: %s" % ckpt_name)
+    return state, accumulated_iter

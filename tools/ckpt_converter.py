@@ -1,0 +1,274 @@
+"""Torch -> JAX checkpoint converter for PDA-SSD parity testing.
+
+Maps a reference PDANet/OpenPCDet ``.pth`` state_dict (torch layout) onto
+this framework's flax variables for the same YAML config, so a trained
+reference checkpoint can be evaluated here box-for-box (SURVEY.md §4e).
+
+Layout translations:
+  Conv1d/Conv2d 1x1 weight (out, in, 1[, 1]) -> Dense kernel (in, out)
+  Linear weight (out, in)                    -> Dense kernel (in, out)
+  BatchNorm weight/bias/running_mean/var     -> bn scale/bias + batch_stats
+  nn.MultiheadAttention in_proj (3d, d)      -> flax MHA q/k/v kernels
+                                                (d, heads, head_dim)
+"""
+
+import argparse
+import pickle
+
+import numpy as np
+
+
+def _dense(w):
+    w = np.asarray(w)
+    if w.ndim == 4:  # Conv2d 1x1
+        w = w[:, :, 0, 0]
+    elif w.ndim == 3:  # Conv1d k=1
+        w = w[:, :, 0]
+    return w.T  # (in, out)
+
+
+class TorchTree:
+    """Flat state_dict with prefix-scoped access."""
+
+    def __init__(self, sd, prefix=""):
+        self.sd = sd
+        self.prefix = prefix
+
+    def sub(self, name):
+        return TorchTree(self.sd, self.prefix + name + ".")
+
+    def __getitem__(self, key):
+        return np.asarray(self.sd[self.prefix + key])
+
+    def __contains__(self, key):
+        return (self.prefix + key) in self.sd
+
+
+def _bn(tree, params, stats, name="bn"):
+    params[name] = {"scale": tree["weight"], "bias": tree["bias"]}
+    stats[name] = {"mean": tree["running_mean"], "var": tree["running_var"]}
+
+
+def convert_mlp_stack(tree, num_layers, stride=3, start=0):
+    """[Conv, BN, ReLU] x n sequential -> MLPStack params/batch_stats."""
+    params, stats = {}, {}
+    for j in range(num_layers):
+        conv = tree.sub(str(start + stride * j))
+        bn = tree.sub(str(start + stride * j + 1))
+        lp, ls = {}, {}
+        lp["dense"] = {"kernel": _dense(conv["weight"])}
+        if "bias" in conv:
+            lp["dense"]["bias"] = conv["bias"]
+        _bn(bn, lp, ls)
+        params[f"layer{j}"] = lp
+        stats[f"layer{j}"] = ls
+    return params, stats
+
+
+def convert_attention(tree, d_model, nhead):
+    """nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    hd = d_model // nhead
+    in_w = tree["in_proj_weight"]  # (3d, d)
+    in_b = tree["in_proj_bias"]  # (3d,)
+    out = {}
+    for i, name in enumerate(["query", "key", "value"]):
+        w = in_w[i * d_model : (i + 1) * d_model]  # (d, d): (out, in)
+        b = in_b[i * d_model : (i + 1) * d_model]
+        out[name] = {
+            "kernel": w.T.reshape(d_model, nhead, hd),
+            "bias": b.reshape(nhead, hd),
+        }
+    wo = tree.sub("out_proj")["weight"]  # (d, d)
+    bo = tree.sub("out_proj")["bias"]
+    out["out"] = {"kernel": wo.T.reshape(nhead, hd, d_model), "bias": bo}
+    return out
+
+
+def convert_transformer_layer(tree, d_model, nhead):
+    params = {
+        "self_attn": convert_attention(tree.sub("self_attn"), d_model, nhead),
+        "norm1": {"scale": tree.sub("norm1")["weight"], "bias": tree.sub("norm1")["bias"]},
+        "norm2": {"scale": tree.sub("norm2")["weight"], "bias": tree.sub("norm2")["bias"]},
+        "linear1": {"kernel": tree.sub("linear1")["weight"].T, "bias": tree.sub("linear1")["bias"]},
+        "linear2": {"kernel": tree.sub("linear2")["weight"].T, "bias": tree.sub("linear2")["bias"]},
+    }
+    return params
+
+
+def convert_densitynet(tree):
+    params, stats = {}, {}
+    for j in range(3):
+        conv = tree.sub(f"mlp_convs.{j}")
+        bn = tree.sub(f"mlp_bns.{j}")
+        params[f"conv{j}"] = {"kernel": _dense(conv["weight"]), "bias": conv["bias"]}
+        params[f"bn{j}"] = {"scale": bn["weight"], "bias": bn["bias"]}
+        stats[f"bn{j}"] = {"mean": bn["running_mean"], "var": bn["running_var"]}
+    return params, stats
+
+
+def convert_fc_head(tree, fc_cfg):
+    """make_fc_layers: [Linear(no bias), BN1d, ReLU] x n + Linear(bias).
+
+    Returns (mlpstack params, mlpstack stats, final dense params).
+    """
+    params, stats = {}, {}
+    for j in range(len(fc_cfg)):
+        lin = tree.sub(str(3 * j))
+        bn = tree.sub(str(3 * j + 1))
+        lp = {"dense": {"kernel": lin["weight"].T}}
+        ls = {}
+        _bn(bn, lp, ls)
+        params[f"layer{j}"] = lp
+        stats[f"layer{j}"] = ls
+    final = tree.sub(str(3 * len(fc_cfg)))
+    return params, stats, {"kernel": final["weight"].T, "bias": final["bias"]}
+
+
+def convert_sa_withsampling(tree, mlps, aggregation_mlp, confidence_mlp):
+    params, stats = {}, {}
+    for i, spec in enumerate(mlps):
+        p, s = convert_mlp_stack(tree.sub(f"mlps.{i}"), len(spec) - 1)
+        params[f"mlps_{i}"] = p
+        stats[f"mlps_{i}"] = s
+    if aggregation_mlp:
+        p, s = convert_mlp_stack(tree.sub("aggregation_layer"), len(aggregation_mlp))
+        params["aggregation_layer"] = p
+        stats["aggregation_layer"] = s
+    if confidence_mlp:
+        p, s = convert_mlp_stack(tree.sub("confidence_layers"), len(confidence_mlp))
+        params["confidence_mlp"] = p
+        stats["confidence_mlp"] = s
+        final = tree.sub(f"confidence_layers.{3 * len(confidence_mlp)}")
+        params["confidence_out"] = {
+            "kernel": _dense(final["weight"]), "bias": final["bias"],
+        }
+    return params, stats
+
+
+def convert_sa_ellipsoid(tree, mlps, aggregation_mlp, confidence_mlp):
+    params, stats = {}, {}
+    for i, spec in enumerate(mlps):
+        d = spec[0]
+        p, s = convert_mlp_stack(tree.sub(f"position_mlp.{i}"), 2)
+        params[f"position_mlp_{i}"], stats[f"position_mlp_{i}"] = p, s
+        p, s = convert_mlp_stack(tree.sub(f"global_mlps.{i}"), 2)
+        params[f"global_mlps_{i}"], stats[f"global_mlps_{i}"] = p, s
+        p, s = convert_densitynet(tree.sub(f"point_density.{i}.densitynet"))
+        params[f"point_density_{i}"], stats[f"point_density_{i}"] = p, s
+        params[f"Local_pointformer_{i}"] = convert_transformer_layer(
+            tree.sub(f"Local_pointformer.{i}"), 4 * d, 4
+        )
+        p, s = convert_mlp_stack(tree.sub(f"fin_conv.{i}"), 2)
+        params[f"fin_conv_{i}"], stats[f"fin_conv_{i}"] = p, s
+    if aggregation_mlp:
+        p, s = convert_mlp_stack(tree.sub("aggregation_layer"), len(aggregation_mlp))
+        params["aggregation_layer"], stats["aggregation_layer"] = p, s
+    if confidence_mlp:
+        p, s = convert_mlp_stack(tree.sub("confidence_layers"), len(confidence_mlp))
+        params["confidence_mlp"], stats["confidence_mlp"] = p, s
+        final = tree.sub(f"confidence_layers.{3 * len(confidence_mlp)}")
+        params["confidence_out"] = {
+            "kernel": _dense(final["weight"]), "bias": final["bias"],
+        }
+    return params, stats
+
+
+def convert_vote_layer(tree, mlp_list):
+    params, stats = {}, {}
+    if mlp_list:
+        p, s = convert_mlp_stack(tree.sub("mlp_modules"), len(mlp_list))
+        params["mlp_modules"], stats["mlp_modules"] = p, s
+    params["ctr_reg"] = {
+        "kernel": _dense(tree.sub("ctr_reg")["weight"]),
+        "bias": tree.sub("ctr_reg")["bias"],
+    }
+    return params, stats
+
+
+def convert_checkpoint(state_dict, model_cfg, num_class=3, input_channels=4):
+    """state_dict: torch name -> numpy array. Returns flax variables dict."""
+    sa_cfg = model_cfg.BACKBONE_3D.SA_CONFIG
+    tree = TorchTree(state_dict)
+    bb_params, bb_stats = {}, {}
+
+    channel_in = input_channels - 3
+    channel_out_list = [channel_in]
+    for k in range(len(sa_cfg.NSAMPLE_LIST)):
+        layer_input = sa_cfg.LAYER_INPUT[k]
+        channel_in = channel_out_list[
+            layer_input[-1] if isinstance(layer_input, list) else layer_input
+        ]
+        mod_tree = tree.sub(f"backbone_3d.SA_modules.{k}")
+        if sa_cfg.LAYER_TYPE[k] == "SA_Layer":
+            mlps = [[channel_in] + list(m) for m in sa_cfg.MLPS[k]]
+            channel_out = sum(m[-1] for m in mlps) if mlps else 0
+            agg = list(sa_cfg.AGGREGATION_MLPS[k]) if sa_cfg.AGGREGATION_MLPS[k] else None
+            conf = list(sa_cfg.CONFIDENCE_MLPS[k]) if sa_cfg.CONFIDENCE_MLPS[k] else None
+            if agg:
+                channel_out = agg[-1]
+            if k < 1 or k > 4:
+                p, s = convert_sa_withsampling(mod_tree, mlps, agg, conf)
+            else:
+                p, s = convert_sa_ellipsoid(mod_tree, mlps, agg, conf)
+        else:
+            p, s = convert_vote_layer(mod_tree, list(sa_cfg.MLPS[k]))
+            channel_out = channel_out_list[layer_input]
+        bb_params[f"SA_modules_{k}"] = p
+        bb_stats[f"SA_modules_{k}"] = s
+        channel_out_list.append(channel_out)
+
+    head_cfg = model_cfg.POINT_HEAD
+    hp, hs = {}, {}
+    p, s, out = convert_fc_head(tree.sub("point_head.cls_center_layers"),
+                                list(head_cfg.CLS_FC))
+    hp["cls_center_layers"], hs["cls_center_layers"], hp["cls_center_out"] = p, s, out
+    p, s, out = convert_fc_head(tree.sub("point_head.box_center_layers"),
+                                list(head_cfg.REG_FC))
+    hp["box_center_layers"], hs["box_center_layers"], hp["box_center_out"] = p, s, out
+
+    def drop_empty(d):
+        return {
+            k: drop_empty(v) if isinstance(v, dict) else v
+            for k, v in d.items()
+            if not (isinstance(v, dict) and not drop_empty(v))
+        }
+
+    return {
+        "params": drop_empty({"backbone_3d": bb_params, "point_head": hp}),
+        "batch_stats": drop_empty({"backbone_3d": bb_stats, "point_head": hs}),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--torch_ckpt", required=True, help=".pth checkpoint")
+    parser.add_argument("--cfg_file", required=True)
+    parser.add_argument("--output", required=True, help="output .pkl")
+    args = parser.parse_args()
+
+    import torch
+
+    from pdanet_tpu.config import cfg_from_yaml_file
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    cfg = cfg_from_yaml_file(args.cfg_file, EasyDict())
+    ck = torch.load(args.torch_ckpt, map_location="cpu")
+    sd = ck.get("model_state", ck)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    variables = convert_checkpoint(
+        sd, cfg.MODEL, num_class=len(cfg.CLASS_NAMES), input_channels=4
+    )
+    out = {
+        "epoch": ck.get("epoch", 0),
+        "it": ck.get("it", 0),
+        "model_state": variables,
+        "optimizer_state": None,
+        "version": "converted+%s" % ck.get("version", "unknown"),
+    }
+    with open(args.output, "wb") as f:
+        pickle.dump(out, f)
+    print("wrote", args.output)
+
+
+if __name__ == "__main__":
+    main()

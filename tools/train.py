@@ -1,0 +1,157 @@
+"""Train CLI — counterpart of ``tools/train.py`` (reference :24-213).
+
+Same flags and output-directory scheme
+(``output/<exp_group>/<tag>/<extra_tag>/ckpt``); the NCCL launcher becomes
+a JAX data mesh (single process drives all local TPU chips; multi-host via
+``jax.distributed.initialize`` when WORLD_SIZE is set).
+"""
+
+import argparse
+import datetime
+import os
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import numpy as np
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="arg parser")
+    parser.add_argument("--cfg_file", type=str, default=None, help="specify the config for training")
+    parser.add_argument("--batch_size", type=int, default=None, required=False, help="batch size for training")
+    parser.add_argument("--epochs", type=int, default=None, required=False, help="number of epochs to train for")
+    parser.add_argument("--workers", type=int, default=4, help="number of workers for dataloader")
+    parser.add_argument("--extra_tag", type=str, default="default", help="extra tag for this experiment")
+    parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to start from")
+    parser.add_argument("--pretrained_model", type=str, default=None, help="pretrained_model")
+    parser.add_argument("--launcher", choices=["none", "pytorch", "slurm", "jax"], default="none")
+    parser.add_argument("--fix_random_seed", action="store_true", default=False)
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=8)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
+                        help="set extra config keys if needed")
+    parser.add_argument("--num_epochs_to_eval", type=int, default=5)
+
+    args = parser.parse_args()
+    from pdanet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(args.cfg_file.split("/")[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    from pdanet_tpu.config import log_config_to_file
+    from pdanet_tpu.datasets import build_dataloader
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.parallel import make_data_mesh
+    from pdanet_tpu.train import (
+        build_optimizer_and_schedule,
+        create_train_state,
+        load_checkpoint,
+        restore_train_state,
+        train_model,
+    )
+    from pdanet_tpu.utils import common_utils
+
+    if args.launcher in ("slurm", "jax") and os.environ.get("WORLD_SIZE"):
+        jax.distributed.initialize()
+
+    batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
+
+    if args.fix_random_seed:
+        common_utils.set_random_seed(666)
+
+    output_dir = Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / (
+        "log_train_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    )
+    logger = common_utils.create_logger(log_file, rank=jax.process_index())
+    logger.info("**********************Start logging**********************")
+    log_config_to_file(cfg, logger=logger)
+
+    n_dev = jax.local_device_count()
+    global_batch = batch_size * n_dev
+    logger.info(f"devices: {n_dev}, per-device batch {batch_size}, global {global_batch}")
+
+    train_set, train_loader, _ = build_dataloader(
+        dataset_cfg=cfg.DATA_CONFIG,
+        class_names=cfg.CLASS_NAMES,
+        batch_size=global_batch,
+        training=True,
+        logger=logger,
+        rank=jax.process_index(),
+        world=jax.process_count(),
+    )
+
+    model = build_network(
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+        input_channels=train_set.point_feature_encoder.num_point_features,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = train_set[0]
+    example = np.stack([sample["points"]] * global_batch)
+    variables = jax.jit(lambda r, p: model.init({"params": r}, p, train=False))(
+        rng, example
+    )
+
+    iters_each_epoch = len(train_loader)
+    tx, lr_fn = build_optimizer_and_schedule(
+        cfg.OPTIMIZATION, iters_each_epoch, epochs
+    )
+    state = create_train_state(model, variables, tx)
+
+    start_epoch = 0
+    if args.ckpt is not None:
+        ck = load_checkpoint(args.ckpt)
+        state = restore_train_state(ck, state, tx)
+        start_epoch = ck["epoch"]
+        logger.info(f"resumed from {args.ckpt} at epoch {start_epoch}")
+    else:
+        # auto-resume from newest checkpoint (reference train.py:140-150)
+        import glob
+
+        ckpts = sorted(
+            glob.glob(str(ckpt_dir / "checkpoint_epoch_*.pkl")), key=os.path.getmtime
+        )
+        if ckpts:
+            ck = load_checkpoint(ckpts[-1])
+            state = restore_train_state(ck, state, tx)
+            start_epoch = ck["epoch"]
+            logger.info(f"auto-resumed from {ckpts[-1]} at epoch {start_epoch}")
+    if args.pretrained_model is not None:
+        ck = load_checkpoint(args.pretrained_model)
+        state = restore_train_state(ck, state, tx, with_optimizer=False)
+        logger.info(f"loaded pretrained model {args.pretrained_model}")
+
+    logger.info("**********************Start training**********************")
+    mesh = make_data_mesh()
+    train_model(
+        model, state, tx, train_loader,
+        model_cfg=cfg.MODEL,
+        optim_cfg=cfg.OPTIMIZATION,
+        num_class=len(cfg.CLASS_NAMES),
+        start_epoch=start_epoch,
+        total_epochs=epochs,
+        ckpt_save_dir=ckpt_dir,
+        lr_fn=lr_fn,
+        ckpt_save_interval=args.ckpt_save_interval,
+        max_ckpt_save_num=args.max_ckpt_save_num,
+        logger=logger,
+        mesh=mesh,
+    )
+    logger.info("**********************End training**********************")
+
+
+if __name__ == "__main__":
+    main()
