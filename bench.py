@@ -1,0 +1,76 @@
+"""Benchmark: PDA-SSD KITTI batch-1 inference latency on the available
+accelerator (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference repo publishes no numbers (SURVEY.md §6 /
+BASELINE.json.published == {}); the stated north-star is >= 2x an RTX
+2080 Ti's PDA-SSD inference rate.  Public IA-SSD-class timings on 2080 Ti
+are ~12-13 ms/frame (~80 fps) for the 16384-point KITTI config; PDA adds
+the per-center transformer, so we take 25 fps as a conservative reference
+figure and report vs_baseline = our_fps / 25.0 until a measured reference
+number exists.
+
+Measurement note: on this image the TPU sits behind an RPC relay with
+~30-40 ms per-dispatch overhead, so the forward runs K times inside ONE
+jitted ``fori_loop`` (inputs perturbed per step to defeat CSE) and the
+per-frame time is the total divided by K — the deployment-realistic
+number (device-resident pipelines never pay per-frame dispatch RPCs).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_2080TI_FPS = 25.0
+K_INNER = 10
+
+
+def main():
+    from __graft_entry__ import entry
+
+    forward, (variables, points) = entry()
+
+    def k_forwards(variables, points):
+        def body(i, acc):
+            # tiny input perturbation: keeps every iteration live (no CSE)
+            cls_preds, box_preds = forward(
+                variables, points + i.astype(points.dtype) * 1e-7
+            )
+            return acc + jnp.sum(cls_preds) + jnp.sum(box_preds[..., 0])
+
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0.0))
+
+    fn = jax.jit(k_forwards)
+    np.asarray(fn(variables, points))  # compile + warmup
+
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(variables, points))
+        best = min(best, (time.perf_counter() - t0) / K_INNER)
+
+    fps = 1.0 / best
+    print(
+        json.dumps(
+            {
+                "metric": "pda_ssd_kitti_b1_inference",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / REF_2080TI_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Synthetic mini-KITTI fixture (SURVEY.md §4c): a few frames with velodyne
+bins, calib, labels, planes and tiny PNGs, built in a temp dir so the full
+info-generation -> gt-database -> __getitem__ -> collate path is exercised
+without real data."""
+
+from pathlib import Path
+
+import numpy as np
+
+# A plausible KITTI calib (P2/R0/Tr from the devkit's sample, rounded).
+CALIB_TXT = """P0: 707.0493 0 604.0814 0 0 707.0493 180.5066 0 0 0 1 0
+P1: 707.0493 0 604.0814 -379.7842 0 707.0493 180.5066 0 0 0 1 0
+P2: 707.0493 0 604.0814 45.75831 0 707.0493 180.5066 -0.3454157 0 0 1 0.004981016
+P3: 707.0493 0 604.0814 -334.1081 0 707.0493 180.5066 2.33966 0 0 1 0.003201153
+R0_rect: 0.9999128 0.01009263 -0.008511932 -0.01012729 0.9999406 -0.004037671 0.008470675 0.004123522 0.9999556
+Tr_velo_to_cam: 0.006927964 -0.9999722 -0.002757829 -0.02457729 -0.001162982 0.002749836 -0.9999955 -0.06127237 0.9999753 0.006931141 0.001143899 -0.3321029
+Tr_imu_to_velo: 0.9999976 0.0007553071 -0.002035826 -0.8086759 -0.0007854027 0.9998898 -0.01482298 0.3195559 0.002024406 0.01482454 0.9998881 -0.7997231
+"""
+
+PLANE_TXT = """# Plane
+Width 4
+Height 1
+-1.855735e-02 -9.998253e-01 -1.616003e-03 1.640574e+00
+"""
+
+
+def _make_frame(rng, n_bg=4000):
+    """Scene points + a Car and a Pedestrian with points on them."""
+    pts = np.zeros((n_bg, 4), np.float32)
+    pts[:, 0] = rng.uniform(4, 60, n_bg)  # x forward
+    pts[:, 1] = rng.uniform(-15, 15, n_bg)
+    pts[:, 2] = rng.uniform(-1.8, 0.5, n_bg)
+    pts[:, 3] = rng.uniform(0, 1, n_bg)
+
+    def box_points(center, dims, yaw, n):
+        local = rng.uniform(-0.5, 0.5, (n, 3)) * np.asarray(dims)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        out = local @ rot.T + np.asarray(center)
+        return np.concatenate([out, rng.uniform(0, 1, (n, 1))], axis=1).astype(
+            np.float32
+        )
+
+    car = dict(center=[15.0, 2.0, -0.8], dims=[3.9, 1.6, 1.56], yaw=0.3)
+    ped = dict(center=[10.0, -3.0, -0.6], dims=[0.8, 0.6, 1.73], yaw=-0.5)
+    pts = np.concatenate(
+        [
+            pts,
+            box_points(car["center"], car["dims"], car["yaw"], 300),
+            box_points(ped["center"], ped["dims"], ped["yaw"], 120),
+        ]
+    )
+    return pts, [("Car", car), ("Pedestrian", ped)]
+
+
+def _label_line(cls, box, calib):
+    """lidar box dict -> KITTI camera-frame label line."""
+    from pdanet_tpu.utils import box_utils
+
+    lidar_box = np.array(
+        [[*box["center"], *box["dims"], box["yaw"]]], dtype=np.float32
+    )
+    cam = box_utils.boxes3d_lidar_to_kitti_camera(lidar_box, calib)[0]
+    x, y, z, l, h, w, ry = cam
+    # put a large-enough 2D bbox so the object is "easy"
+    return (
+        f"{cls} 0.00 0 0.0 300.00 150.00 400.00 250.00 "
+        f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}"
+    )
+
+
+def build_mini_kitti(root: Path, num_frames=3, seed=0):
+    from PIL import Image
+
+    from pdanet_tpu.utils.calibration_kitti import Calibration
+
+    root = Path(root)
+    training = root / "training"
+    for sub in ["velodyne", "calib", "label_2", "image_2", "planes"]:
+        (training / sub).mkdir(parents=True, exist_ok=True)
+    (root / "ImageSets").mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.RandomState(seed)
+    ids = [f"{i:06d}" for i in range(num_frames)]
+    for idx in ids:
+        (training / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
+        (training / "planes" / f"{idx}.txt").write_text(PLANE_TXT)
+        calib = Calibration(str(training / "calib" / f"{idx}.txt"))
+        pts, objs = _make_frame(rng)
+        pts.tofile(str(training / "velodyne" / f"{idx}.bin"))
+        lines = [_label_line(cls, box, calib) for cls, box in objs]
+        (training / "label_2" / f"{idx}.txt").write_text("\n".join(lines) + "\n")
+        Image.new("RGB", (1242, 375)).save(training / "image_2" / f"{idx}.png")
+
+    (root / "ImageSets" / "train.txt").write_text("\n".join(ids) + "\n")
+    (root / "ImageSets" / "val.txt").write_text("\n".join(ids) + "\n")
+    (root / "ImageSets" / "test.txt").write_text("")
+    return ids

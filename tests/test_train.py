@@ -1,0 +1,167 @@
+"""Training-runtime tests: one-cycle schedule parity vs the reference
+formula, a few DP training steps on the 8-device virtual mesh (SURVEY.md
+§4d), and overfit-smoke (loss decreases)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from model_cfg import tiny_model_cfg
+
+from pdanet_tpu.models import build_network
+from pdanet_tpu.parallel import make_data_mesh, replicate, shard_batch
+from pdanet_tpu.train import (
+    build_optimizer_and_schedule,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+from pdanet_tpu.utils.easydict import EasyDict
+
+
+def _optim_cfg():
+    return EasyDict(
+        {
+            "OPTIMIZER": "adam_onecycle",
+            "LR": 0.01,
+            "WEIGHT_DECAY": 0.01,
+            "MOMENTUM": 0.9,
+            "MOMS": [0.95, 0.85],
+            "PCT_START": 0.4,
+            "DIV_FACTOR": 10,
+            "DECAY_STEP_LIST": [35, 45],
+            "LR_DECAY": 0.1,
+            "LR_CLIP": 0.0000001,
+            "LR_WARMUP": False,
+            "WARMUP_EPOCH": 1,
+            "GRAD_NORM_CLIP": 10,
+        }
+    )
+
+
+def _reference_onecycle(total_steps, lr_max, moms, div, pct_start):
+    """The reference OneCycle formula (learning_schedules_fastai.py:53-77)
+    re-derived in numpy as an oracle."""
+
+    def annealing_cos(start, end, p):
+        return end + (start - end) / 2.0 * (np.cos(np.pi * p) + 1)
+
+    a1 = int(total_steps * pct_start)
+    low = lr_max / div
+
+    def lr(step):
+        if step < a1:
+            return annealing_cos(low, lr_max, step / a1)
+        return annealing_cos(lr_max, low / 1e4, (step - a1) / (total_steps - a1))
+
+    def mom(step):
+        if step < a1:
+            return annealing_cos(moms[0], moms[1], step / a1)
+        return annealing_cos(moms[1], moms[0], (step - a1) / (total_steps - a1))
+
+    return lr, mom
+
+
+def test_one_cycle_schedule_matches_reference():
+    from pdanet_tpu.train.optimization import one_cycle_schedules
+
+    total = 200
+    lr_fn, mom_fn = one_cycle_schedules(total, 0.01, [0.95, 0.85], 10, 0.4)
+    ref_lr, ref_mom = _reference_onecycle(total, 0.01, [0.95, 0.85], 10, 0.4)
+    for step in [0, 1, 40, 79, 80, 81, 150, 199]:
+        # f32 on-device cos vs f64 numpy oracle: tail LRs are ~1e-6
+        np.testing.assert_allclose(
+            float(lr_fn(step)), ref_lr(step), rtol=1e-4, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(mom_fn(step)), ref_mom(step), rtol=1e-4, atol=1e-9
+        )
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    cfg = tiny_model_cfg()
+    model = build_network(cfg, num_class=3, input_channels=4)
+    rng = jax.random.PRNGKey(0)
+    B = 8  # one frame per virtual device
+    pts = jax.random.normal(rng, (B, 128, 4)) * 5
+    gt = jnp.zeros((B, 3, 8))
+    gt = gt.at[:, 0].set(jnp.array([2.0, 1.0, 0.0, 3.9, 1.6, 1.56, 0.3, 1.0]))
+    gt = gt.at[:, 1].set(jnp.array([-3.0, 2.0, 0.2, 0.8, 0.6, 1.73, -0.5, 2.0]))
+    variables = jax.jit(lambda r, p: model.init({"params": r}, p, train=False))(
+        rng, pts
+    )
+    tx, lr_fn = build_optimizer_and_schedule(_optim_cfg(), 10, 4)
+    state = create_train_state(model, variables, tx)
+    return cfg, model, tx, state, pts, gt
+
+
+def _fresh(state):
+    """Deep-copy a TrainState: train steps donate their input state, so
+    tests sharing the module fixture must not step the original buffers."""
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.array, state)
+
+
+def test_dp_training_steps_on_virtual_mesh(train_setup):
+    """Full DP train step over 8 virtual devices: state replicated, batch
+    sharded, grads all-reduced by GSPMD; loss decreases on a fixed batch."""
+    cfg, model, tx, state, pts, gt = train_setup
+    state = _fresh(state)
+    assert len(jax.devices()) == 8
+    mesh = make_data_mesh()
+    step = jit_train_step(make_train_step(model, tx, cfg, 3), mesh)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, {"points": pts, "gt_boxes": gt})
+
+    losses = []
+    for _ in range(6):
+        state, loss, tb = step(state, batch["points"], batch["gt_boxes"])
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    # overfit smoke: the fixed batch must get easier
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_single_vs_multi_device_equivalence(train_setup):
+    """One DP step on the 8-device mesh == the same step on 1 device
+    (GSPMD all-reduce must be mathematically a no-op re-layout)."""
+    cfg, model, tx, state, pts, gt = train_setup
+    state = _fresh(state)
+    mesh8 = make_data_mesh()
+    mesh1 = make_data_mesh(jax.devices()[:1])
+
+    out = []
+    for mesh in (mesh8, mesh1):
+        # donate=False: both runs must start from the same live state
+        step = jit_train_step(make_train_step(model, tx, cfg, 3), mesh,
+                              donate=False)
+        s = replicate(mesh, state)
+        b = shard_batch(mesh, {"points": pts, "gt_boxes": gt})
+        s2, loss, _ = step(s, b["points"], b["gt_boxes"])
+        out.append((float(loss), np.asarray(jax.tree.leaves(s2.params)[0])))
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-4)
+    np.testing.assert_allclose(out[0][1], out[1][1], rtol=1e-3, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(train_setup, tmp_path):
+    from pdanet_tpu.train import (
+        checkpoint_state,
+        load_checkpoint,
+        restore_train_state,
+        save_checkpoint,
+    )
+
+    cfg, model, tx, state, pts, gt = train_setup
+    ck = checkpoint_state(state, epoch=3, it=123)
+    fname = save_checkpoint(ck, filename=str(tmp_path / "ckpt_test"))
+    loaded = load_checkpoint(fname)
+    assert loaded["epoch"] == 3 and loaded["it"] == 123
+    restored = restore_train_state(loaded, state, tx)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 123
