@@ -25,16 +25,28 @@ _CHUNK_BUDGET = 8 * 1024 * 1024
 
 
 def _chunked_query(xyz, new_xyz, nsample, prio_fn, sentinel):
-    """Run the top-k selection over M in chunks."""
+    """Run the first-K selection over M in chunks."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
 
     def select(prio):  # (B, mc, N') -> (B, mc, nsample)
-        neg_topk, _ = jax.lax.top_k(-prio, nsample)
-        hits_sorted = -neg_topk
-        valid = hits_sorted < sentinel
-        fill = jnp.where(valid[..., 0:1], hits_sorted[..., 0:1], 0)
-        return jnp.where(valid, hits_sorted, fill)
+        # Scan-order first-K via prefix counts + binary search: priorities
+        # are already index-ordered, so the k-th smallest valid priority
+        # sits at the first position whose running hit-count reaches k.
+        # O(N) cumsum + K searchsorted gathers beats lax.top_k over N by
+        # ~4x at the L0 scale (4096 centers x 16384 points).
+        hit = prio < sentinel
+        csum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
+        total = csum[..., -1:]
+        Nn = prio.shape[-1]
+        ks = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+        pos = jax.vmap(
+            lambda c: jnp.searchsorted(c, ks, side="left")
+        )(csum.reshape(-1, Nn)).reshape(csum.shape[:-1] + (nsample,))
+        vals = jnp.take_along_axis(prio, jnp.minimum(pos, Nn - 1), axis=-1)
+        valid = ks[None, None, :] <= total
+        fill = jnp.where(valid[..., 0:1], vals[..., 0:1], 0)
+        return jnp.where(valid, vals, fill)
 
     chunk = max(1, min(M, _CHUNK_BUDGET // max(N, 1)))
     while M % chunk != 0:
@@ -99,7 +111,12 @@ def ball_query_dilated(max_radius, min_radius, nsample, xyz, new_xyz):
         ann_hit = (d2 >= rmin2) & (d2 < rmax2)
         p_zero = jnp.where(zero_hit, 2 * iota[None, None, :], jnp.int32(sentinel))
         p_ann = jnp.where(ann_hit, 2 * iota[None, None, :] + 1, jnp.int32(sentinel))
-        return jnp.concatenate([p_zero, p_ann], axis=-1)
+        # interleave so the axis stays priority-ordered (the first-K
+        # selection walks positions in order): slot 2n = exact-self branch,
+        # slot 2n+1 = annulus branch, matching the CUDA per-point order.
+        return jnp.stack([p_zero, p_ann], axis=-1).reshape(
+            p_zero.shape[:-1] + (2 * p_zero.shape[-1],)
+        )
 
     idx2 = _chunked_query(xyz, new_xyz, nsample, prio_fn, sentinel)
     return (idx2 // 2).astype(jnp.int32)

@@ -1,0 +1,198 @@
+"""End-to-end CLI smoke: tools/train.py trains one epoch on the synthetic
+mini-KITTI fixture and tools/test.py evaluates the produced checkpoint —
+the full L0-L7 slice through the real command-line surface."""
+
+import os
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from kitti_fixture import build_mini_kitti
+
+REPO = Path(__file__).resolve().parent.parent
+
+TINY_CFG = """CLASS_NAMES: ['Car', 'Pedestrian', 'Cyclist']
+
+DATA_CONFIG:
+    DATASET: 'KittiDataset'
+    DATA_PATH: '{data_path}'
+    POINT_CLOUD_RANGE: [0, -40, -3, 70.4, 40, 1]
+    DATA_SPLIT: {{'train': train, 'test': val}}
+    INFO_PATH: {{'train': [kitti_infos_train.pkl], 'test': [kitti_infos_val.pkl]}}
+    GET_ITEM_LIST: ["points"]
+    FOV_POINTS_ONLY: False
+    DATA_AUGMENTOR:
+        DISABLE_AUG_LIST: ['placeholder']
+        AUG_CONFIG_LIST:
+            - NAME: random_world_flip
+              ALONG_AXIS_LIST: ['x']
+            - NAME: random_world_rotation
+              WORLD_ROT_ANGLE: [-0.78539816, 0.78539816]
+            - NAME: random_world_scaling
+              WORLD_SCALE_RANGE: [0.95, 1.05]
+    POINT_FEATURE_ENCODING: {{
+        encoding_type: absolute_coordinates_encoding,
+        used_feature_list: ['x', 'y', 'z', 'intensity'],
+        src_feature_list: ['x', 'y', 'z', 'intensity'],
+    }}
+    DATA_PROCESSOR:
+        - NAME: mask_points_and_boxes_outside_range
+          REMOVE_OUTSIDE_BOXES: True
+        - NAME: sample_points
+          NUM_POINTS: {{'train': 512, 'test': 512}}
+        - NAME: shuffle_points
+          SHUFFLE_ENABLED: {{'train': True, 'test': False}}
+
+MODEL:
+    NAME: IASSD
+    BACKBONE_3D:
+        NAME: IASSD_Backbone
+        SA_CONFIG:
+            NPOINT_LIST: [[128], [64], [32], [16], [-1], [16]]
+            SAMPLE_RANGE_LIST: [[-1], [-1], [-1], [-1], [-1], [-1]]
+            SAMPLE_METHOD_LIST: &sample_method_list [['D-FPS'], ['D-FPS'], ['ctr_aware'], ['ctr_aware'], [], []]
+            RADIUS_LIST: [[0.2,0.8], [0.8,1.6], [1.6,4.8], [], [], [4.8, 6.4]]
+            NSAMPLE_LIST: [[4,8], [4,8], [4,8], [], [], [4,8]]
+            MLPS: [[[8,8,16], [8,8,16]],
+                   [[16,16,32], [16,24,32]],
+                   [[32,32,64], [32,32,64]],
+                   [],
+                   [32],
+                   [[64,64,128], [64,64,128]]]
+            LAYER_TYPE: ['SA_Layer', 'SA_Layer', 'SA_Layer', 'SA_Layer', 'Vote_Layer', 'SA_Layer']
+            DILATED_GROUP: [False, False, False, False, False, False]
+            AGGREGATION_MLPS: [[16], [32], [64], [64], [], [128]]
+            CONFIDENCE_MLPS: [[], [32], [64], [], [], []]
+            LAYER_INPUT: [0, 1, 2, 3, 4, 3]
+            CTR_INDEX: [-1, -1, -1, -1, -1, 5]
+            MAX_TRANSLATE_RANGE: [3.0, 3.0, 2.0]
+    POINT_HEAD:
+        NAME: IASSD_Head
+        CLS_FC: [32, 32]
+        REG_FC: [32, 32]
+        CLASS_AGNOSTIC: False
+        USE_POINT_FEATURES_BEFORE_FUSION: False
+        TARGET_CONFIG:
+            INS_AWARE_ASSIGN: True
+            GT_EXTRA_WIDTH: [0.2, 0.2, 0.2]
+            ASSIGN_METHOD:
+                NAME: 'extend_gt'
+                ASSIGN_TYPE: 'centers_origin'
+                EXTRA_WIDTH: [1.0, 1.0, 1.0]
+                FG_PC_IGNORE: False
+            BOX_CODER: PointResidual_BinOri_Coder
+            BOX_CODER_CONFIG: {{
+                'angle_bin_num': 12,
+                'use_mean_size': True,
+                'mean_size': [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+            }}
+        LOSS_CONFIG:
+            LOSS_CLS: WeightedCrossEntropy
+            LOSS_REG: WeightedSmoothL1Loss
+            LOSS_INS: WeightedCrossEntropy
+            SAMPLE_METHOD_LIST: *sample_method_list
+            LOSS_VOTE_TYPE: 'none'
+            CORNER_LOSS_REGULARIZATION: True
+            CENTERNESS_REGULARIZATION: True
+            CENTERNESS_REGULARIZATION_SA: True
+            LOSS_WEIGHTS: {{
+                'ins_aware_weight': [0, 1.0, 1.0],
+                'vote_weight': 1.0,
+                'point_cls_weight': 1.0,
+                'point_box_weight': 1.0,
+                'corner_weight': 1.0,
+                'code_weights': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+                'dir_weight': 0.2
+            }}
+    POST_PROCESSING:
+        RECALL_MODE: 'normal'
+        RECALL_THRESH_LIST: [0.3, 0.5, 0.7]
+        SCORE_THRESH: 0.1
+        OUTPUT_RAW_SCORE: False
+        EVAL_METRIC: kitti
+        NMS_CONFIG:
+            MULTI_CLASSES_NMS: False
+            NMS_TYPE: nms_gpu
+            NMS_THRESH: 0.01
+            NMS_PRE_MAXSIZE: 128
+            NMS_POST_MAXSIZE: 32
+
+OPTIMIZATION:
+    BATCH_SIZE_PER_GPU: 2
+    NUM_EPOCHS: 1
+    OPTIMIZER: adam_onecycle
+    LR: 0.01
+    WEIGHT_DECAY: 0.01
+    MOMENTUM: 0.9
+    MOMS: [0.95, 0.85]
+    PCT_START: 0.4
+    DIV_FACTOR: 10
+    DECAY_STEP_LIST: [35, 45]
+    LR_DECAY: 0.1
+    LR_CLIP: 0.0000001
+    LR_WARMUP: False
+    WARMUP_EPOCH: 1
+    GRAD_NORM_CLIP: 10
+"""
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_kitti")
+    build_mini_kitti(root, num_frames=4)
+    from pdanet_tpu.datasets.kitti.kitti_dataset import create_kitti_infos
+    from pdanet_tpu.utils.easydict import EasyDict
+    import yaml
+
+    cfg_dir = root / "cfgs" / "kitti_models"
+    cfg_dir.mkdir(parents=True)
+    cfg_text = TINY_CFG.format(data_path=root)
+    cfg_file = cfg_dir / "PDA-SSD-tiny.yaml"
+    cfg_file.write_text(cfg_text)
+
+    full = EasyDict(yaml.safe_load(cfg_text))
+    create_kitti_infos(
+        full.DATA_CONFIG, ["Car", "Pedestrian", "Cyclist"], root, root, workers=1
+    )
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # run CLIs on CPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    return root, cfg_file, env
+
+
+def test_train_and_test_cli(cli_env, tmp_path):
+    root, cfg_file, env = cli_env
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/train.py"), "--cfg_file", str(cfg_file),
+         "--extra_tag", "smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert ckpts, "no checkpoint produced"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file", str(cfg_file),
+         "--ckpt", str(ckpts[0]), "--extra_tag", "smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl produced"
+    with open(results[0], "rb") as f:
+        det_annos = pickle.load(f)
+    assert len(det_annos) == 4  # all val frames predicted
+    assert set(det_annos[0].keys()) >= {
+        "name", "score", "boxes_lidar", "bbox", "location", "frame_id",
+    }
