@@ -244,6 +244,28 @@ def contextual_vote_loss(forward_ret, num_class, weight):
     return loss * weight
 
 
+def contextual_vote_loss_ver1(forward_ret, num_boxes, weight):
+    """LOSS_VOTE_TYPE 'ver1' (IASSD_head.py:551-576): per-instance
+    sum-normalized smooth-L1 averaged over instances (the ver2 form
+    without the spread-to-mean term)."""
+    box_idx = forward_ret["center_origin_box_idxs_of_pts"]  # (B, N)
+    gt_ctr = forward_ret["gt_box_of_center_origin"][..., 0:3]
+    pred = forward_ret["centers_origin"] + forward_ret["ctr_offsets"]
+    B, N = box_idx.shape
+    valid = box_idx >= 0
+    seg = (jnp.arange(B)[:, None] * num_boxes + jnp.maximum(box_idx, 0)).reshape(-1)
+    seg = jnp.where(valid.reshape(-1), seg, B * num_boxes)
+    num_seg = B * num_boxes + 1
+    ones = valid.reshape(-1).astype(jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=num_seg)
+    l1 = jnp.sum(loss_utils.smooth_l1(pred - gt_ctr, beta=1.0), axis=-1).reshape(-1)
+    ins_loss = jax.ops.segment_sum(l1 * ones, seg, num_segments=num_seg)
+    has_pts = (counts[:-1] > 0).astype(jnp.float32)
+    per_ins = ins_loss[:-1] / jnp.maximum(counts[:-1], 1.0)
+    loss = jnp.sum(per_ins * has_pts) / jnp.maximum(jnp.sum(has_pts), 1.0)
+    return loss * weight
+
+
 def contextual_vote_loss_ver2(forward_ret, num_boxes, weight):
     """LOSS_VOTE_TYPE 'ver2' (IASSD_head.py:583-625): per-instance
     normalized vote loss + 0.5 x spread-to-instance-mean, averaged over
@@ -464,6 +486,8 @@ def get_loss(forward_ret, model_cfg, box_coder, num_class, num_boxes):
     if assign is not None and assign.get("ASSIGN_TYPE") == "centers_origin":
         if vote_type == "ver2":
             vote_loss = contextual_vote_loss_ver2(forward_ret, num_boxes, vote_w)
+        elif vote_type == "ver1":
+            vote_loss = contextual_vote_loss_ver1(forward_ret, num_boxes, vote_w)
         else:
             vote_loss = contextual_vote_loss(forward_ret, num_class, vote_w)
     else:

@@ -1,5 +1,16 @@
-from . import ball_query, geometry, grouping, interpolate, nms, rotated_iou, sampling
+from . import (  # noqa: F401
+    ball_query,
+    chamfer,
+    geometry,
+    grouping,
+    interpolate,
+    nms,
+    rotated_iou,
+    sampling,
+)
 from .ball_query import ball_query as ball_query_op  # noqa: F401
+from .ball_query import ball_query_dilated  # noqa: F401
+from .chamfer import cd_loss_l1, cd_loss_l2, chamfer_distance  # noqa: F401
 from .geometry import (  # noqa: F401
     boxes_to_corners_3d,
     enlarge_box3d,

@@ -192,3 +192,48 @@ def test_post_processing_shapes(model_and_vars):
     for b in range(2):
         assert np.all(labels[b, : counts[b]] >= 1)
         assert np.all(labels[b, : counts[b]] <= 3)
+
+
+def test_vote_loss_variants():
+    """ver1/ver2 segment-sum vote losses vs a per-instance python oracle."""
+    from pdanet_tpu.models.dense_heads.iassd_head import (
+        contextual_vote_loss_ver1,
+        contextual_vote_loss_ver2,
+    )
+    from pdanet_tpu.utils.loss_utils import smooth_l1
+
+    rng = np.random.RandomState(11)
+    B, N, M = 2, 16, 3
+    box_idx = rng.randint(-1, M, (B, N))
+    gt = rng.randn(B, N, 8).astype(np.float32)
+    origin = rng.randn(B, N, 3).astype(np.float32)
+    offs = rng.randn(B, N, 3).astype(np.float32) * 0.1
+    fr = {
+        "center_origin_box_idxs_of_pts": jnp.asarray(box_idx),
+        "gt_box_of_center_origin": jnp.asarray(gt),
+        "centers_origin": jnp.asarray(origin),
+        "ctr_offsets": jnp.asarray(offs),
+    }
+    pred = origin + offs
+
+    def sl1(x):
+        n = np.abs(x)
+        return np.where(n < 1.0, 0.5 * n * n, n - 0.5)
+
+    per_ins_v1, per_ins_v2 = [], []
+    for b in range(B):
+        for m in range(M):
+            mask = box_idx[b] == m
+            if not mask.any():
+                continue
+            l = sl1(pred[b][mask] - gt[b][mask][:, :3]).sum()
+            cnt = mask.sum()
+            per_ins_v1.append(l / cnt)
+            mean_pred = pred[b][mask].mean(0)
+            spread = sl1(pred[b][mask] - mean_pred).sum()
+            per_ins_v2.append((l + 0.5 * spread) / cnt)
+
+    v1 = float(contextual_vote_loss_ver1(fr, M, 1.0))
+    v2 = float(contextual_vote_loss_ver2(fr, M, 1.0))
+    np.testing.assert_allclose(v1, np.mean(per_ins_v1), rtol=1e-4)
+    np.testing.assert_allclose(v2, np.mean(per_ins_v2), rtol=1e-4)

@@ -224,3 +224,18 @@ class TestInterpolate:
         np.testing.assert_allclose(
             np.array(d2), np.take_along_axis(full, want_idx, -1), rtol=1e-4, atol=1e-5
         )
+
+
+def test_chamfer_distance_vs_numpy():
+    from pdanet_tpu.ops.chamfer import cd_loss_l1, chamfer_distance
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(2, 33, 3).astype(np.float32)
+    b = rng.randn(2, 21, 3).astype(np.float32)
+    d1, d2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+    ref = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d1), ref.min(2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), ref.min(1), rtol=1e-5, atol=1e-6)
+    l1 = float(cd_loss_l1(jnp.asarray(a), jnp.asarray(b)))
+    ref_l1 = (np.sqrt(ref.min(2)).mean() + np.sqrt(ref.min(1)).mean()) / 2
+    np.testing.assert_allclose(l1, ref_l1, rtol=1e-5)
