@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.ball_query import ball_query
+from ...ops.ball_query import ball_query, ball_query_multi
 from ...ops.grouping import gather_points, group_points
 from ...ops.sampling import (
     calc_square_dist,
@@ -113,14 +113,16 @@ class QueryGroupDensityDirectional(nn.Module):
     (pointnet2_utils.py:557-614): ball query then per-neighbor channels
     [abs_xyz(3) | gaussian_density(1) | unit_dir(3) | features(C)].
 
-    Channels-last: returns a tuple instead of one packed tensor.
+    Channels-last: returns a tuple instead of one packed tensor.  ``idx``
+    may be precomputed (shared multi-radius query).
     """
 
     radius: float
     nsample: int
 
-    def __call__(self, xyz, new_xyz, features):
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+    def __call__(self, xyz, new_xyz, features, idx=None):
+        if idx is None:
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
         grouped_xyz = group_points(xyz, idx)  # (B, M, K, 3) absolute
         d2 = jnp.sum(
             jnp.square(grouped_xyz - new_xyz[:, :, None, :]), axis=-1
@@ -165,9 +167,13 @@ class SAModuleWithSampling(nn.Module):
             new_xyz = ctr_xyz
 
         if len(self.radii) > 0:
+            # one shared distance field for all MSG radii
+            idx_list = ball_query_multi(
+                tuple(self.radii), tuple(self.nsamples), xyz, new_xyz
+            )
             scale_feats = []
             for i, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
-                idx = ball_query(radius, nsample, xyz, new_xyz)
+                idx = idx_list[i]
                 grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
                 grouped = jnp.concatenate(
                     [grouped_xyz, group_points(features, idx)], axis=-1
@@ -234,12 +240,16 @@ class SAModuleEllipsoid(nn.Module):
         if len(self.radii) > 0:
             # (B, M, 3 + C): per-center global descriptor (:748)
             global_input = jnp.concatenate([new_xyz, new_xyz_feature], axis=-1)
+            # one shared distance field for all MSG radii
+            idx_list = ball_query_multi(
+                tuple(self.radii), tuple(self.nsamples), xyz, new_xyz
+            )
             scale_feats = []
             for i, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
                 d = self.mlps[i][0]
                 grouped_xyz, density, direction, grouped_feats = (
                     QueryGroupDensityDirectional(radius, nsample, name=f"groupers_{i}")(
-                        xyz, new_xyz, features
+                        xyz, new_xyz, features, idx=idx_list[i]
                     )
                 )
                 # (a) density branch (:799-806)
