@@ -199,3 +199,92 @@ def test_once_eval_on_perfect_predictions():
     assert result_dict["AP_Vehicle/overall"] > 99.0, result_str
     assert result_dict["AP_Pedestrian/overall"] > 99.0, result_str
     assert result_dict["AP_Cyclist/overall"] > 99.0, result_str
+
+
+ONCE_DATA_CFG = {
+    "DATASET": "ONCEDataset",
+    "DATA_PATH": "",
+    "POINT_CLOUD_RANGE": [-75.2, -75.2, -5.0, 75.2, 75.2, 3.0],
+    "INFO_PATH": {
+        "train": ["once_infos_train.pkl"],
+        "val": ["once_infos_val.pkl"],
+        "test": ["once_infos_test.pkl"],
+    },
+    "DATA_SPLIT": {"train": "train", "test": "val"},
+    "DATA_AUGMENTOR": {
+        "DISABLE_AUG_LIST": ["placeholder"],
+        "AUG_CONFIG_LIST": [
+            {
+                "NAME": "gt_sampling",
+                "USE_ROAD_PLANE": False,
+                "DB_INFO_PATH": ["once_dbinfos_train.pkl"],
+                "PREPARE": {
+                    "filter_by_min_points": [
+                        "Car:5", "Bus:5", "Truck:5", "Pedestrian:5", "Cyclist:5"
+                    ],
+                },
+                "SAMPLE_GROUPS": ["Car:2", "Bus:1", "Truck:1", "Pedestrian:1", "Cyclist:1"],
+                "NUM_POINT_FEATURES": 4,
+                "REMOVE_EXTRA_WIDTH": [0.0, 0.0, 0.0],
+                "LIMIT_WHOLE_SCENE": True,
+            },
+            {"NAME": "random_world_flip", "ENABLE_PROB": 0.5, "ALONG_AXIS_LIST": ["x", "y"]},
+            {"NAME": "random_world_rotation", "ENABLE_PROB": 0.5,
+             "WORLD_ROT_ANGLE": [-0.78539816, 0.78539816]},
+            {"NAME": "random_world_scaling", "ENABLE_PROB": 0.5,
+             "WORLD_SCALE_RANGE": [0.9, 1.1]},
+        ],
+    },
+    "POINT_FEATURE_ENCODING": {
+        "encoding_type": "absolute_coordinates_encoding",
+        "used_feature_list": ["x", "y", "z", "intensity"],
+        "src_feature_list": ["x", "y", "z", "intensity"],
+    },
+    "DATA_PROCESSOR": [
+        {"NAME": "mask_points_and_boxes_outside_range", "REMOVE_OUTSIDE_BOXES": True},
+        {"NAME": "sample_points", "NUM_POINTS": {"train": 4096, "test": 4096}},
+        {"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True, "test": False}},
+    ],
+}
+
+ONCE_CLASSES = ["Car", "Bus", "Truck", "Pedestrian", "Cyclist"]
+
+
+@pytest.fixture(scope="module")
+def once_root(tmp_path_factory):
+    from once_fixture import build_mini_once
+
+    root = tmp_path_factory.mktemp("mini_once")
+    build_mini_once(root, num_frames=3)
+    from pdanet_tpu.datasets.once.once_dataset import create_once_infos
+
+    cfg = EasyDict(dict(ONCE_DATA_CFG))
+    cfg.DATA_PATH = str(root)
+    create_once_infos(cfg, ONCE_CLASSES, root, root, workers=1)
+    return root
+
+
+def test_once_infos_and_getitem(once_root):
+    import pickle
+
+    with open(once_root / "once_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 3
+    assert infos[0]["annos"]["boxes_3d"].shape[1] == 7
+    assert (infos[0]["annos"]["num_points_in_gt"] > 50).all()
+
+    from pdanet_tpu.datasets import build_dataloader
+
+    cfg = EasyDict(dict(ONCE_DATA_CFG))
+    cfg.DATA_PATH = str(once_root)
+    np.random.seed(0)
+    dataset, loader, _ = build_dataloader(
+        dataset_cfg=cfg, class_names=ONCE_CLASSES, batch_size=2,
+        training=True, root_path=once_root,
+    )
+    batch = next(iter(loader))
+    assert batch["points"].shape == (2, 4096, 4)
+    assert batch["gt_boxes"].shape[2] == 8
+    with open(once_root / "once_dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert sum(len(v) for v in db.values()) == 9  # 3 frames x 3 objects
