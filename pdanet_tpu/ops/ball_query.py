@@ -22,8 +22,12 @@ import jax
 import jax.numpy as jnp
 
 # Max number of (center x point) distance entries materialized at once per
-# batch row; keeps the working set ~tens of MB.
-_CHUNK_BUDGET = 8 * 1024 * 1024
+# batch row.  Sequential lax.map chunks under-utilize the chip badly (the
+# ONCE L0 query ran 8x slower with 128 chunks than with 8), so the budget
+# favors few large chunks: 128M entries -> ~0.5 GB per (i32) intermediate
+# per batch row, comfortably inside v5e HBM, and KITTI-scale queries run
+# unchunked.
+_CHUNK_BUDGET = 128 * 1024 * 1024
 _LANES = 128
 
 
@@ -78,8 +82,11 @@ def _select(prio, nsample, sentinel):
     return jnp.where(valid, vals, fill)
 
 
-def _chunk_centers(M, N):
-    chunk = max(1, min(M, _CHUNK_BUDGET // max(N, 1)))
+def _chunk_centers(B, M, N):
+    # budget covers the whole (B, chunk, N) intermediate: batch rows beyond
+    # one must shrink the chunk or the transients blow past HBM and the
+    # runtime spills (ONCE B=2 ran 50x slower than B=1 before this).
+    chunk = max(1, min(M, _CHUNK_BUDGET // max(B * N, 1)))
     while M % chunk != 0:
         chunk -= 1
     return chunk
@@ -89,7 +96,7 @@ def _run_chunked(xyz, new_xyz, body):
     """map ``body(centers_chunk)`` over M-chunks of centers."""
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
-    chunk = _chunk_centers(M, N)
+    chunk = _chunk_centers(B, M, N)
     if chunk == M:
         return body(new_xyz)
     centers = new_xyz.reshape(B, M // chunk, chunk, 3).swapaxes(0, 1)

@@ -72,9 +72,20 @@ def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
 
 @partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample_pallas(xyz, npoint):
-    """(B, N, 3) -> (B, npoint) int32, N % 128 == 0."""
+    """(B, N, 3) -> (B, npoint) int32.
+
+    N is padded to a lane multiple with copies of point 0: a duplicate's
+    running min-distance is pinned at 0 from the first selection (index 0
+    is always picked first), so pads can never win the argmax and the
+    sampled indices always reference real points.
+    """
     B, N, _ = xyz.shape
-    assert N % _LANES == 0, f"N={N} must be a multiple of {_LANES}"
+    pad = (-N) % _LANES
+    if pad:
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[:, 0:1, :], (B, pad, 3))], axis=1
+        )
+        N += pad
     R = N // _LANES
     P = (npoint + _LANES - 1) // _LANES  # output rows (lane-padded)
     planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1)).reshape(

@@ -38,8 +38,7 @@ def farthest_point_sample(xyz, npoint):
     Returns:
         (B, npoint) int32 indices.
     """
-    N = xyz.shape[1]
-    if jax.default_backend() == "tpu" and N % 128 == 0:
+    if jax.default_backend() == "tpu":
         from .pallas.fps import farthest_point_sample_pallas
 
         return farthest_point_sample_pallas(xyz, npoint)
