@@ -125,8 +125,26 @@ class DatasetTemplate:
                 data_dict[key].append(val)
         batch_size = len(batch_list)
         ret = {}
+        # static voxel budget: pad every frame to the config cap so voxel
+        # tensors are (B, V_max, ...) fixed-shape (TPU contract)
+        v_max = None
+        if "max_number_of_voxels" in data_dict:
+            v_max = max(data_dict.pop("max_number_of_voxels"))
         for key, val in data_dict.items():
-            if key == "points":
+            if key in ("voxels", "voxel_coords", "voxel_num_points"):
+                padded = []
+                for v in val:
+                    pad_n = v_max - v.shape[0]
+                    fill = -1 if key == "voxel_coords" else 0
+                    padded.append(
+                        np.pad(
+                            v,
+                            [(0, pad_n)] + [(0, 0)] * (v.ndim - 1),
+                            constant_values=fill,
+                        )
+                    )
+                ret[key] = np.stack(padded, axis=0)
+            elif key == "points":
                 lens = {v.shape[0] for v in val}
                 assert len(lens) == 1, (
                     "dense collate requires the sample_points processor to fix "

@@ -118,10 +118,15 @@ class DataProcessor:
         return data_dict
 
     def transform_points_to_voxels(self, data_dict=None, config=None):
-        """Voxelization is not on the PDA-SSD path (point-based model); the
-        spconv Point2VoxelCPU3d dependency is dropped.  Configs that carry
-        the processor still load — it degrades to grid-size calculation
-        (IA-SSD ignores voxels)."""
+        """Voxelization (spconv Point2VoxelCPU3d replaced by a numpy
+        grid-hash voxelizer): first-come point order within a voxel, voxel
+        order = order of first appearance, capped points-per-voxel and
+        voxel count — the same observable behavior as the spconv CPU
+        voxelizer the reference uses (data_processor.py:115-143).
+
+        Point-based models (PDA-SSD/IA-SSD) ignore the voxel outputs; the
+        PointPillar/voxel families consume them.
+        """
         if data_dict is None:
             grid_size = (
                 self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
@@ -129,6 +134,55 @@ class DataProcessor:
             self.grid_size = np.round(grid_size).astype(np.int64)
             self.voxel_size = config.VOXEL_SIZE
             return partial(self.transform_points_to_voxels, config=config)
+
+        points = data_dict["points"]
+        voxel_size = np.asarray(config.VOXEL_SIZE, dtype=np.float32)
+        max_pts = int(config.MAX_POINTS_PER_VOXEL)
+        max_voxels = int(config.MAX_NUMBER_OF_VOXELS[self.mode])
+        pcr = self.point_cloud_range
+
+        coords = np.floor(
+            (points[:, 0:3] - pcr[0:3]) / voxel_size
+        ).astype(np.int64)
+        grid = self.grid_size
+        inside = (
+            (coords >= 0).all(axis=1)
+            & (coords[:, 0] < grid[0])
+            & (coords[:, 1] < grid[1])
+            & (coords[:, 2] < grid[2])
+        )
+        points = points[inside]
+        coords = coords[inside]
+        # voxel id in zyx scan order (reference coords are (z, y, x))
+        vid = (coords[:, 2] * grid[1] + coords[:, 1]) * grid[0] + coords[:, 0]
+        # first-appearance voxel ordering
+        _, first_idx, inverse = np.unique(vid, return_index=True, return_inverse=True)
+        order = np.argsort(np.argsort(first_idx))  # rank by first appearance
+        slot = order[inverse]
+        num_voxels = min(len(first_idx), max_voxels)
+
+        # rank of each point within its voxel (original scan order)
+        order_pts = np.argsort(slot, kind="stable")
+        sorted_slot = slot[order_pts]
+        boundaries = np.concatenate([[0], np.cumsum(np.bincount(sorted_slot))])
+        rank_sorted = np.arange(len(points)) - boundaries[sorted_slot]
+        rank = np.empty(len(points), dtype=np.int64)
+        rank[order_pts] = rank_sorted
+
+        keep = (slot < num_voxels) & (rank < max_pts)
+        voxels = np.zeros((num_voxels, max_pts, points.shape[1]), dtype=np.float32)
+        voxels[slot[keep], rank[keep]] = points[keep]
+        counts = np.bincount(slot, minlength=num_voxels)[:num_voxels]
+        voxel_num_points = np.minimum(counts, max_pts).astype(np.int32)
+        # first_idx is ordered by voxel id; reorder to first-appearance slots
+        voxel_coords = coords[first_idx[np.argsort(order)]][:num_voxels][
+            :, ::-1
+        ].astype(np.int32)  # zyx
+
+        data_dict["voxels"] = voxels
+        data_dict["voxel_coords"] = voxel_coords
+        data_dict["voxel_num_points"] = voxel_num_points
+        data_dict["max_number_of_voxels"] = max_voxels
         return data_dict
 
     def forward(self, data_dict):

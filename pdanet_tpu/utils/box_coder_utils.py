@@ -169,9 +169,69 @@ class PointResidualCoder:
         )
 
 
+class ResidualCoder:
+    """Anchor-based 7-dim residual coder (reference :5-76): xy residuals
+    normalized by the anchor BEV diagonal, log size ratios, raw angle
+    residual (sin-difference applied in the anchor-head loss)."""
+
+    def __init__(self, code_size=7, encode_angle_by_sincos=False, **kwargs):
+        self.code_size = code_size
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+        if self.encode_angle_by_sincos:
+            self.code_size += 1
+
+    def encode(self, boxes, anchors):
+        """(..., 7+) gt boxes x (..., 7+) anchors -> (..., code_size)."""
+        anchors_d = jnp.maximum(anchors[..., 3:6], 1e-5)
+        boxes_d = jnp.maximum(boxes[..., 3:6], 1e-5)
+        diagonal = jnp.sqrt(anchors_d[..., 0] ** 2 + anchors_d[..., 1] ** 2)
+        xt = (boxes[..., 0] - anchors[..., 0]) / diagonal
+        yt = (boxes[..., 1] - anchors[..., 1]) / diagonal
+        zt = (boxes[..., 2] - anchors[..., 2]) / anchors_d[..., 2]
+        dt = jnp.log(boxes_d / anchors_d)
+        if self.encode_angle_by_sincos:
+            tail = [
+                jnp.cos(boxes[..., 6]) - jnp.cos(anchors[..., 6]),
+                jnp.sin(boxes[..., 6]) - jnp.sin(anchors[..., 6]),
+            ]
+        else:
+            tail = [boxes[..., 6] - anchors[..., 6]]
+        extras = [boxes[..., 7 + i] - anchors[..., 7 + i]
+                  for i in range(boxes.shape[-1] - 7)]
+        return jnp.concatenate(
+            [jnp.stack([xt, yt, zt], -1), dt,
+             jnp.stack(tail, -1)] + ([jnp.stack(extras, -1)] if extras else []),
+            axis=-1,
+        )
+
+    def decode(self, encodings, anchors):
+        anchors_d = anchors[..., 3:6]
+        diagonal = jnp.sqrt(anchors_d[..., 0] ** 2 + anchors_d[..., 1] ** 2)
+        xg = encodings[..., 0] * diagonal + anchors[..., 0]
+        yg = encodings[..., 1] * diagonal + anchors[..., 1]
+        zg = encodings[..., 2] * anchors_d[..., 2] + anchors[..., 2]
+        dg = jnp.exp(encodings[..., 3:6]) * anchors_d
+        if self.encode_angle_by_sincos:
+            rg_cos = encodings[..., 6] + jnp.cos(anchors[..., 6])
+            rg_sin = encodings[..., 7] + jnp.sin(anchors[..., 6])
+            rg = jnp.arctan2(rg_sin, rg_cos)
+            rest = 8
+        else:
+            rg = encodings[..., 6] + anchors[..., 6]
+            rest = 7
+        extras = [encodings[..., rest + i] + anchors[..., 7 + i]
+                  for i in range(anchors.shape[-1] - 7)]
+        return jnp.concatenate(
+            [jnp.stack([xg, yg, zg], -1), dg, rg[..., None]]
+            + ([jnp.stack(extras, -1)] if extras else []),
+            axis=-1,
+        )
+
+
 def build_box_coder(name, config):
     coders = {
         "PointResidual_BinOri_Coder": PointResidual_BinOri_Coder,
         "PointResidualCoder": PointResidualCoder,
+        "ResidualCoder": ResidualCoder,
     }
     return coders[name](**config)
