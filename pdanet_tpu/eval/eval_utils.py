@@ -47,8 +47,10 @@ def eval_one_epoch(
     det_annos = []
 
     @jax.jit
-    def forward(variables, points):
-        out = model.apply(variables, points, train=False)
+    def forward(variables, dev_batch):
+        out = model.apply(
+            variables, dev_batch, train=False, method=model.forward_batch
+        )
         pred = post_processing(
             out["batch_cls_preds"], out["batch_box_preds"],
             cfg.MODEL.POST_PROCESSING,
@@ -61,12 +63,18 @@ def eval_one_epoch(
     num_iters = len(dataloader)
 
     for i, batch_dict in enumerate(dataloader):
-        points = batch_dict["points"]
+        dev_batch = {
+            k: v
+            for k, v in batch_dict.items()
+            if k in ("points", "voxels", "voxel_coords", "voxel_num_points")
+        }
         t0 = time.time()
-        pred = forward(variables, points)
+        pred = forward(variables, dev_batch)
         pred = jax.tree.map(np.asarray, jax.block_until_ready(pred))
         if infer_time and i > num_iters * 0.1:
-            infer_time_meter.append((time.time() - t0) * 1000 / points.shape[0])
+            infer_time_meter.append(
+                (time.time() - t0) * 1000 / batch_dict["batch_size"]
+            )
 
         # recall stats vs gt (host-side; eval batches may carry gt)
         if "gt_boxes" in batch_dict:

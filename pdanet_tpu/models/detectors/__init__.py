@@ -16,8 +16,20 @@ def build_detector(model_cfg, num_class, input_channels=4, **kwargs):
     )
 
 
-def build_network(model_cfg, num_class, input_channels=4, **kwargs):
-    """Reference signature takes a dataset; here the dataset contract is the
-    input channel count plus (for voxel models) grid geometry
-    (pcdet/models/__init__.py:20-24)."""
+def build_network(model_cfg, num_class, dataset=None, input_channels=4,
+                  **kwargs):
+    """Mirror of the reference builder (pcdet/models/__init__.py:20-24):
+    when a dataset is given, input channels and (for voxel models) grid
+    geometry/class names are derived from it."""
+    if dataset is not None:
+        input_channels = dataset.point_feature_encoder.num_point_features
+        if model_cfg.NAME in ("PointPillar",):
+            kwargs.setdefault(
+                "grid_size", tuple(int(x) for x in dataset.grid_size)
+            )
+            kwargs.setdefault("voxel_size", tuple(dataset.voxel_size))
+            kwargs.setdefault(
+                "point_cloud_range", tuple(float(x) for x in dataset.point_cloud_range)
+            )
+            kwargs.setdefault("class_names", tuple(dataset.class_names))
     return build_detector(model_cfg, num_class, input_channels, **kwargs)

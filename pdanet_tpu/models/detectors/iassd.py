@@ -83,6 +83,14 @@ class IASSD(nn.Module):
             ret, head_cfg, self.box_coder, self.num_class, gt_boxes.shape[1]
         )
 
+    # --- detector-agnostic batch interface (train/eval runtimes) ---
+
+    def forward_batch(self, batch, train=False):
+        return self(batch["points"], train=train)
+
+    def loss_batch(self, forward_out, batch):
+        return self.loss(forward_out, batch["gt_boxes"])
+
 
 def compute_loss(forward_out, gt_boxes, model_cfg, box_coder, num_class):
     """Pure training loss (target assignment + §2.6 stack) — usable inside

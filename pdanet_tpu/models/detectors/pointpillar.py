@@ -26,6 +26,7 @@ class PointPillar(nn.Module):
     grid_size: Any = None  # (nx, ny, nz)
     voxel_size: Any = None
     point_cloud_range: Any = None
+    class_names: Any = None
 
     def setup(self):
         cfg = EasyDict(self.model_cfg)
@@ -120,4 +121,17 @@ class PointPillar(nn.Module):
             dict(head_cfg.LOSS_CONFIG.LOSS_WEIGHTS),
             dir_offset=head_cfg.get("DIR_OFFSET", 0.78539),
             num_dir_bins=head_cfg.get("NUM_DIR_BINS", 2),
+        )
+
+    # --- detector-agnostic batch interface (train/eval runtimes) ---
+
+    def forward_batch(self, batch, train=False):
+        return self(
+            batch["voxels"], batch["voxel_coords"], batch["voxel_num_points"],
+            train=train,
+        )
+
+    def loss_batch(self, forward_out, batch):
+        return self.loss(
+            forward_out, batch["gt_boxes"], list(self.class_names)
         )

@@ -21,9 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.detectors.iassd import compute_loss
 from ..parallel import batch_sharding, make_data_mesh, replicate, shard_batch
-from ..utils.box_coder_utils import build_box_coder
 
 
 @flax.struct.dataclass
@@ -43,22 +41,28 @@ def create_train_state(model, variables, tx):
     )
 
 
-def make_train_step(model, tx, model_cfg, num_class):
-    """One fully-fused training iteration (jit once, run every step)."""
-    head_cfg = model_cfg.POINT_HEAD
-    box_coder = build_box_coder(
-        head_cfg.TARGET_CONFIG.BOX_CODER, head_cfg.TARGET_CONFIG.BOX_CODER_CONFIG
-    )
+def make_train_step(model, tx, model_cfg=None, num_class=None):
+    """One fully-fused training iteration (jit once, run every step).
 
-    def train_step(state: TrainState, points, gt_boxes):
+    Detector-agnostic: every detector exposes ``forward_batch(batch)`` /
+    ``loss_batch(out, batch)`` over a dict of dense arrays, so the same
+    step trains IASSD (points) and PointPillar (voxels) alike.
+    ``model_cfg``/``num_class`` are accepted for backward compatibility
+    and unused.
+    """
+
+    def train_step(state: TrainState, batch):
         def loss_fn(params):
-            out, mut = model.apply(
+            def fwd_loss(mdl, b):
+                out = mdl.forward_batch(b, train=True)
+                return mdl.loss_batch(out, b)
+
+            (loss, tb), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                points,
-                train=True,
+                batch,
                 mutable=["batch_stats"],
+                method=fwd_loss,
             )
-            loss, tb = compute_loss(out, gt_boxes, model_cfg, box_coder, num_class)
             return loss, (tb, mut["batch_stats"])
 
         (loss, (tb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -90,7 +94,7 @@ def jit_train_step(train_step, mesh, donate=True):
     data = batch_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, data),
+        in_shardings=(repl, data),  # `data` broadcasts over the batch pytree
         out_shardings=(repl, repl, repl),
         donate_argnums=(0,) if donate else (),
     )
@@ -177,14 +181,16 @@ def train_model(
         end = time.time()
         for batch in train_loader:
             data_time = time.time() - end
-            points = batch["points"]
-            gt_boxes = batch["gt_boxes"]
             dev_batch = shard_batch(
-                mesh, {"points": points, "gt_boxes": gt_boxes}
+                mesh,
+                {
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("points", "gt_boxes", "voxels", "voxel_coords",
+                             "voxel_num_points")
+                },
             )
-            state, loss, tb = train_step(
-                state, dev_batch["points"], dev_batch["gt_boxes"]
-            )
+            state, loss, tb = train_step(state, dev_batch)
             loss = float(loss)
             accumulated_iter += 1
             batch_time = time.time() - end

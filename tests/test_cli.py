@@ -160,6 +160,7 @@ def cli_env(tmp_path_factory):
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # run CLIs on CPU
+    env.pop("XLA_FLAGS", None)  # single device: 4-frame fixture, batch 2
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -176,7 +177,7 @@ def test_train_and_test_cli(cli_env, tmp_path):
          "--extra_tag", "smoke"],
         cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
     )
-    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
 
     ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
     assert ckpts, "no checkpoint produced"
@@ -186,7 +187,7 @@ def test_train_and_test_cli(cli_env, tmp_path):
          "--ckpt", str(ckpts[0]), "--extra_tag", "smoke"],
         cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
     )
-    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
 
     results = list((workdir / "output").rglob("result.pkl"))
     assert results, "no result.pkl produced"

@@ -118,7 +118,7 @@ def test_dp_training_steps_on_virtual_mesh(train_setup):
 
     losses = []
     for _ in range(6):
-        state, loss, tb = step(state, batch["points"], batch["gt_boxes"])
+        state, loss, tb = step(state, batch)
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     # overfit smoke: the fixed batch must get easier
@@ -141,7 +141,7 @@ def test_single_vs_multi_device_equivalence(train_setup):
                               donate=False)
         s = replicate(mesh, state)
         b = shard_batch(mesh, {"points": pts, "gt_boxes": gt})
-        s2, loss, _ = step(s, b["points"], b["gt_boxes"])
+        s2, loss, _ = step(s, b)
         out.append((float(loss), np.asarray(jax.tree.leaves(s2.params)[0])))
     np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-4)
     np.testing.assert_allclose(out[0][1], out[1][1], rtol=1e-3, atol=1e-6)

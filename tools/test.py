@@ -115,8 +115,7 @@ def main():
         logger=logger,
     )
     model = build_network(
-        cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-        input_channels=test_set.point_feature_encoder.num_point_features,
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
     )
 
     if not args.eval_all:

@@ -95,15 +95,26 @@ def main():
     )
 
     model = build_network(
-        cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-        input_channels=train_set.point_feature_encoder.num_point_features,
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set
     )
+    if len(train_loader) == 0:
+        raise RuntimeError(
+            f"dataset ({len(train_set)} frames) smaller than the global batch "
+            f"({global_batch}); reduce --batch_size or device count"
+        )
     rng = jax.random.PRNGKey(0)
-    sample = train_set[0]
-    example = np.stack([sample["points"]] * global_batch)
-    variables = jax.jit(lambda r, p: model.init({"params": r}, p, train=False))(
-        rng, example
-    )
+    example_batch = next(iter(train_loader))
+    example = {
+        k: v
+        for k, v in example_batch.items()
+        if k in ("points", "gt_boxes", "voxels", "voxel_coords",
+                 "voxel_num_points")
+    }
+    variables = jax.jit(
+        lambda r, b: model.init(
+            {"params": r}, b, train=False, method=model.forward_batch
+        )
+    )(rng, example)
 
     iters_each_epoch = len(train_loader)
     tx, lr_fn = build_optimizer_and_schedule(
