@@ -237,3 +237,34 @@ def test_vote_loss_variants():
     v2 = float(contextual_vote_loss_ver2(fr, M, 1.0))
     np.testing.assert_allclose(v1, np.mean(per_ins_v1), rtol=1e-4)
     np.testing.assert_allclose(v2, np.mean(per_ins_v2), rtol=1e-4)
+
+
+def test_pointnet2_backbone_forward():
+    """PointNet2MSG + FP decoder zoo backbone: shapes + finiteness."""
+    from pdanet_tpu.models.backbones_3d.pointnet2_backbone import PointNet2MSG
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    cfg = EasyDict(
+        {
+            "SA_CONFIG": {
+                "NPOINTS": [64, 16],
+                "RADIUS": [[0.5, 1.0], [1.0, 2.0]],
+                "NSAMPLE": [[8, 16], [8, 16]],
+                "MLPS": [
+                    [[8, 16], [8, 16]],
+                    [[16, 32], [16, 32]],
+                ],
+            },
+            "FP_MLPS": [[32, 32], [32, 32]],
+        }
+    )
+    model = PointNet2MSG(model_cfg=cfg, input_channels=4)
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.normal(rng, (2, 256, 4)) * 4
+    variables = jax.jit(lambda r, p: model.init({"params": r}, p, train=False))(
+        rng, pts
+    )
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pts)
+    assert out["point_features"].shape == (2, 256, 32)
+    assert out["point_coords"].shape == (2, 256, 3)
+    assert np.all(np.isfinite(np.asarray(out["point_features"])))

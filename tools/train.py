@@ -34,6 +34,8 @@ def parse_config():
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
                         help="set extra config keys if needed")
     parser.add_argument("--num_epochs_to_eval", type=int, default=5)
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="capture a jax.profiler trace of a few train steps")
 
     args = parser.parse_args()
     from pdanet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -145,6 +147,13 @@ def main():
         state = restore_train_state(ck, state, tx, with_optimizer=False)
         logger.info(f"loaded pretrained model {args.pretrained_model}")
 
+    from pdanet_tpu.utils.metrics import MetricsLogger
+
+    tb_log = MetricsLogger(output_dir / "tensorboard") if jax.process_index() == 0 else None
+
+    if args.profile:
+        jax.profiler.start_trace(str(output_dir / "profile"))
+
     logger.info("**********************Start training**********************")
     mesh = make_data_mesh()
     train_model(
@@ -160,7 +169,11 @@ def main():
         max_ckpt_save_num=args.max_ckpt_save_num,
         logger=logger,
         mesh=mesh,
+        tb_log=tb_log,
     )
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s" % (output_dir / "profile"))
     logger.info("**********************End training**********************")
 
 
