@@ -21,13 +21,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Max number of (center x point) distance entries materialized at once per
-# batch row.  Sequential lax.map chunks under-utilize the chip badly (the
-# ONCE L0 query ran 8x slower with 128 chunks than with 8), so the budget
-# favors few large chunks: 128M entries -> ~0.5 GB per (i32) intermediate
-# per batch row, comfortably inside v5e HBM, and KITTI-scale queries run
-# unchunked.
-_CHUNK_BUDGET = 128 * 1024 * 1024
+# Max number of (center x point) distance entries materialized at once
+# across the WHOLE batch.  Measured on v5e: each sequential lax.map step
+# costs hundreds of ms regardless of chunk size, so the budget favors the
+# fewest, largest chunks that still fit HBM (512M entries = 2 GB per i32
+# intermediate; a handful are live at once).  KITTI-scale queries run
+# unchunked; ONCE L0 (B=2: 16384 x 60000) runs in 4 chunks.
+_CHUNK_BUDGET = 256 * 1024 * 1024
 _LANES = 128
 
 
@@ -130,11 +130,18 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz):
     """
     B, N, _ = xyz.shape
     iota = jnp.arange(N, dtype=jnp.int32)
+    # hoist one transpose: contiguous (B, 3, N) planes; per-component reads
+    # of the interleaved (N, 3) layout inside the chunk loop are stride-3
+    # loads and were 10x slower at ONCE scale
+    xt = jnp.transpose(xyz, (0, 2, 1))
 
     def body(centers):
-        d2 = jnp.sum(
-            jnp.square(centers[..., :, None, :] - xyz[:, None, :, :]), axis=-1
-        )
+        # component-wise (M, N) broadcasts: a fused (M, N, 3) form would
+        # put the 3-vector on the lane axis (padded to 128 -> 42x waste)
+        dx = centers[..., :, 0:1] - xt[:, None, 0, :]
+        dy = centers[..., :, 1:2] - xt[:, None, 1, :]
+        dz = centers[..., :, 2:3] - xt[:, None, 2, :]
+        d2 = dx * dx + dy * dy + dz * dz
         outs = []
         for radius, nsample in zip(radii, nsamples):
             r2 = jnp.float32(radius * radius)
@@ -161,11 +168,13 @@ def ball_query_dilated(max_radius, min_radius, nsample, xyz, new_xyz):
     rmax2 = jnp.float32(max_radius * max_radius)
     rmin2 = jnp.float32(min_radius * min_radius)
     sentinel = 2 * N
+    xt = jnp.transpose(xyz, (0, 2, 1))
 
     def body(centers):
-        d2 = jnp.sum(
-            jnp.square(centers[..., :, None, :] - xyz[:, None, :, :]), axis=-1
-        )
+        dx = centers[..., :, 0:1] - xt[:, None, 0, :]
+        dy = centers[..., :, 1:2] - xt[:, None, 1, :]
+        dz = centers[..., :, 2:3] - xt[:, None, 2, :]
+        d2 = dx * dx + dy * dy + dz * dz
         zero_hit = d2 == 0
         ann_hit = (d2 >= rmin2) & (d2 < rmax2)
         p_zero = jnp.where(zero_hit, 2 * iota[None, None, :], jnp.int32(sentinel))

@@ -19,9 +19,12 @@ def chamfer_distance(xyz1, xyz2):
     Returns:
         (dist1 (B, N), dist2 (B, M)) — min squared distance to the other set.
     """
-    d = jnp.sum(
-        jnp.square(xyz1[:, :, None, :] - xyz2[:, None, :, :]), axis=-1
-    )  # (B, N, M)
+    # component-wise (N, M) broadcasts: keeps lanes on M instead of a
+    # padded 3-vector axis
+    dx = xyz1[:, :, 0:1] - xyz2[:, None, :, 0]
+    dy = xyz1[:, :, 1:2] - xyz2[:, None, :, 1]
+    dz = xyz1[:, :, 2:3] - xyz2[:, None, :, 2]
+    d = dx * dx + dy * dy + dz * dz  # (B, N, M)
     return jnp.min(d, axis=2), jnp.min(d, axis=1)
 
 

@@ -22,10 +22,12 @@ def three_nn(unknown, known):
             squared distances); idx: (B, N, 3) int32.
     """
     # Direct squared distance (matches the CUDA kernel's arithmetic; the
-    # ||a||^2+||b||^2-2ab expansion would reorder near-ties).
-    d2 = jnp.sum(
-        jnp.square(unknown[:, :, None, :] - known[:, None, :, :]), axis=-1
-    )  # (B, N, M)
+    # ||a||^2+||b||^2-2ab expansion would reorder near-ties).  Computed
+    # component-wise so lanes ride M, not a padded 3-vector axis.
+    dx = unknown[:, :, 0:1] - known[:, None, :, 0]
+    dy = unknown[:, :, 1:2] - known[:, None, :, 1]
+    dz = unknown[:, :, 2:3] - known[:, None, :, 2]
+    d2 = dx * dx + dy * dy + dz * dz  # (B, N, M)
     neg, idx = jax.lax.top_k(-d2, 3)
     return -neg, idx.astype(jnp.int32)
 

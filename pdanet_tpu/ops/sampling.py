@@ -53,7 +53,10 @@ def _farthest_point_sample_xla(xyz, npoint):
     def body(j, state):
         temp, idxs, old = state
         cur = jnp.take_along_axis(xyz, old[:, None, None], axis=1)  # (B, 1, 3)
-        d = jnp.sum(jnp.square(xyz - cur), axis=-1)  # (B, N)
+        dx = xyz[..., 0] - cur[..., 0]
+        dy = xyz[..., 1] - cur[..., 1]
+        dz = xyz[..., 2] - cur[..., 2]
+        d = dx * dx + dy * dy + dz * dz  # (B, N)
         temp = jnp.minimum(temp, d)
         best = jnp.argmax(temp, axis=-1).astype(jnp.int32)
         idxs = idxs.at[:, j].set(best)
