@@ -113,22 +113,48 @@ def post_processing(batch_cls_preds, batch_box_preds, post_cfg):
         boxes (B, POST, 7), scores (B, POST), labels (B, POST) in 1..C,
         count (B,).
     """
+    from ...ops.nms import greedy_nms_mask_batched
+    from ...ops.rotated_iou import boxes_iou_bev
+
     scores_all = jax.nn.sigmoid(batch_cls_preds)
     cls_scores = jnp.max(scores_all, axis=-1)
     labels = jnp.argmax(scores_all, axis=-1) + 1
 
-    def one_frame(scores, boxes, lab):
-        sel, count, sel_scores = class_agnostic_nms(
-            scores, boxes, post_cfg.NMS_CONFIG,
-            score_thresh=post_cfg.SCORE_THRESH,
-        )
+    nms_cfg = post_cfg.NMS_CONFIG
+    N = batch_box_preds.shape[1]
+    pre = min(int(nms_cfg.NMS_PRE_MAXSIZE), N)
+    post = min(int(nms_cfg.NMS_POST_MAXSIZE), pre)
+
+    def prep(scores, boxes):
+        valid = jnp.isfinite(scores) & (scores >= post_cfg.SCORE_THRESH)
+        masked = jnp.where(valid, scores, -jnp.inf)
+        order = jnp.argsort(-masked, stable=True)[:pre]
+        cand_boxes = boxes[order]
+        cand_valid = valid[order]
+        iou = boxes_iou_bev(cand_boxes, cand_boxes)
+        return order.astype(jnp.int32), cand_valid, iou
+
+    order, cand_valid, iou = jax.vmap(prep)(cls_scores, batch_box_preds)
+    # batched greedy walk outside vmap (Pallas kernel on TPU)
+    keep = greedy_nms_mask_batched(
+        iou, cand_valid, float(nms_cfg.NMS_THRESH)
+    )
+
+    def compact(keep, order, scores, boxes, lab):
+        rank = jnp.cumsum(keep) - 1
+        sel = jnp.full((post,), -1, dtype=jnp.int32)
+        src = jnp.where(keep & (rank < post), rank, post)
+        sel = sel.at[src].set(order, mode="drop")
+        count = jnp.minimum(jnp.sum(keep), post).astype(jnp.int32)
         safe = jnp.maximum(sel, 0)
         out_boxes = jnp.where((sel >= 0)[:, None], boxes[safe], 0.0)
+        out_scores = jnp.where(sel >= 0, scores[safe], 0.0)
         out_labels = jnp.where(sel >= 0, lab[safe], 0)
-        return out_boxes, sel_scores, out_labels, count
+        return out_boxes, out_scores, out_labels, count
 
-    boxes, scores, labs, counts = jax.vmap(one_frame)(cls_scores,
-                                                      batch_box_preds, labels)
+    boxes, scores, labs, counts = jax.vmap(compact)(
+        keep, order, cls_scores, batch_box_preds, labels
+    )
     return {
         "pred_boxes": boxes,
         "pred_scores": scores,

@@ -19,9 +19,11 @@ from .rotated_iou import boxes_iou_bev
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("thresh",))
 def greedy_nms_mask(iou, valid, thresh):
     """Greedy suppression over boxes already sorted by descending score.
+
+    Dispatches to the VMEM-resident Pallas walk on TPU (the XLA loop costs
+    ~130 us per candidate); both give identical keep masks.
 
     Args:
         iou: (K, K) pairwise BEV IoU, row/col in score order.
@@ -31,6 +33,33 @@ def greedy_nms_mask(iou, valid, thresh):
     Returns:
         keep: (K,) bool mask.
     """
+    return greedy_nms_mask_batched(iou[None], valid[None], thresh)[0]
+
+
+def greedy_nms_mask_batched(iou, valid, thresh):
+    """Batched greedy walk: (B, K, K) x (B, K) -> (B, K).
+
+    Dispatches to the Pallas kernel on TPU.  NOTE: the Pallas path cannot
+    be called under vmap (its HBM-resident IoU ref forbids batched block
+    specs) — batch frames into the leading axis instead.
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas.nms import greedy_nms_mask_pallas
+
+        B, K, _ = iou.shape
+        pad = (-K) % 128
+        if pad:
+            iou = jnp.pad(iou, ((0, 0), (0, pad), (0, pad)))
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        keep = greedy_nms_mask_pallas(iou, valid, float(thresh))
+        return keep[:, :K]
+    return jax.vmap(
+        lambda i, v: _greedy_nms_mask_xla(i, v, thresh)
+    )(iou, valid)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def _greedy_nms_mask_xla(iou, valid, thresh):
     K = iou.shape[0]
     suppress = iou > thresh  # (K, K)
     idx = jnp.arange(K)

@@ -4,9 +4,12 @@ Replaces the CUDA polygon-clip kernels
 (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu:15-265``).  The reference
 enumerates up to 16 edge-pair intersections + 8 contained corners per box
 pair, sorts them around the polygon centroid, and sums a triangle fan.
-Here the same 24-candidate enumeration is carried out for all (N, M) pairs
-at once with masks instead of branches — the TPU-native formulation — and
-the angular sort becomes a masked stable argsort.
+
+TPU layout: every per-pair quantity lives on an (N, M) plane (pairs ride
+the lane dimension) and the 24-candidate axis is a leading, statically
+unrolled dimension — the earlier (N, M, 24, 2) form put tiny axes on the
+lanes (padded to 128) and ran ~40x slower.  The angular ordering is a
+multi-operand stable ``lax.sort`` along the major candidate axis.
 
 Numerics match the CUDA code (float32, EPS = 1e-8, corner-containment
 margin 1e-2, strict/inclusive comparisons preserved), so per-pair results
@@ -22,7 +25,7 @@ EPS = 1e-8
 
 
 def box_corners_bev(boxes):
-    """(K, 7) -> (K, 4, 2) BEV corners, reference ordering.
+    """(K, 7) -> x (K, 4), y (K, 4) BEV corners, reference ordering.
 
     Corner order before rotation: (x1,y1), (x2,y1), (x2,y2), (x1,y2)
     (iou3d_nms_kernel.cu:124-134), then rotated around the box center by
@@ -38,141 +41,150 @@ def box_corners_bev(boxes):
     s = jnp.sin(boxes[..., 6])[..., None]
     px = sx * c - sy * s + cx[..., None]
     py = sx * s + sy * c + cy[..., None]
-    return jnp.stack([px, py], axis=-1)
+    return px, py
 
 
-def _cross3(p1, p2, p0):
-    """cross(p1, p2, p0) = (p1-p0) x (p2-p0), reference sign convention."""
-    return (p1[..., 0] - p0[..., 0]) * (p2[..., 1] - p0[..., 1]) - (
-        p2[..., 0] - p0[..., 0]
-    ) * (p1[..., 1] - p0[..., 1])
+def _pair_overlap_planes(boxes_a, boxes_b):
+    """(N, 7) x (M, 7) -> (N, M) rotated BEV overlap areas."""
+    ax, ay = box_corners_bev(boxes_a)  # (N, 4)
+    bx, by = box_corners_bev(boxes_b)  # (M, 4)
 
+    def A(c):  # corner c of a as (N, 1)
+        return ax[:, c : c + 1], ay[:, c : c + 1]
 
-def _cross2(a, b):
-    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+    def Bc(c):  # corner c of b as (1, M)
+        return bx[None, :, c], by[None, :, c]
 
+    cand_x, cand_y, cand_v = [], [], []
 
-def _segment_intersections(ca, cb):
-    """All 16 edge-pair intersections between two quads.
+    # 16 edge-pair intersections (check_rect_cross + intersection,
+    # iou3d_nms_kernel.cu:43-92), i-major j-minor order (:160-174)
+    for i in range(4):
+        p0x, p0y = A(i)
+        p1x, p1y = A((i + 1) % 4)
+        for j in range(4):
+            q0x, q0y = Bc(j)
+            q1x, q1y = Bc((j + 1) % 4)
 
-    Args:
-        ca: (..., 4, 2) corners of box a; cb: (..., 4, 2) corners of box b.
-    Returns:
-        pts (..., 16, 2), valid (..., 16) — flattened in the reference's
-        (i-major, j-minor) loop order (iou3d_nms_kernel.cu:160-174).
-    """
-    # Edge i of a: p0 = ca[i], p1 = ca[i+1 mod 4]; same for b.
-    a0 = ca  # (..., 4, 2)
-    a1 = jnp.roll(ca, shift=-1, axis=-2)
-    b0 = cb
-    b1 = jnp.roll(cb, shift=-1, axis=-2)
+            rect = (
+                (jnp.minimum(p0x, p1x) <= jnp.maximum(q0x, q1x))
+                & (jnp.minimum(q0x, q1x) <= jnp.maximum(p0x, p1x))
+                & (jnp.minimum(p0y, p1y) <= jnp.maximum(q0y, q1y))
+                & (jnp.minimum(q0y, q1y) <= jnp.maximum(p0y, p1y))
+            )
 
-    # Broadcast to (..., 4a, 4b, 2)
-    p0 = a0[..., :, None, :]
-    p1 = a1[..., :, None, :]
-    q0 = b0[..., None, :, :]
-    q1 = b1[..., None, :, :]
+            def cross3(x1, y1, x2, y2, x0, y0):
+                return (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
 
-    # Fast bounding-rect exclusion (check_rect_cross, :43-49).
-    rect = (
-        (jnp.minimum(p0[..., 0], p1[..., 0]) <= jnp.maximum(q0[..., 0], q1[..., 0]))
-        & (jnp.minimum(q0[..., 0], q1[..., 0]) <= jnp.maximum(p0[..., 0], p1[..., 0]))
-        & (jnp.minimum(p0[..., 1], p1[..., 1]) <= jnp.maximum(q0[..., 1], q1[..., 1]))
-        & (jnp.minimum(q0[..., 1], q1[..., 1]) <= jnp.maximum(p0[..., 1], p1[..., 1]))
-    )
+            s1 = cross3(q0x, q0y, p1x, p1y, p0x, p0y)
+            s2 = cross3(p1x, p1y, q1x, q1y, p0x, p0y)
+            s3 = cross3(p0x, p0y, q1x, q1y, q0x, q0y)
+            s4 = cross3(q1x, q1y, p1x, p1y, q0x, q0y)
+            valid = rect & (s1 * s2 > 0) & (s3 * s4 > 0)
 
-    s1 = _cross3(q0, p1, p0)
-    s2 = _cross3(p1, q1, p0)
-    s3 = _cross3(p0, q1, q0)
-    s4 = _cross3(q1, p1, q0)
-    valid = rect & (s1 * s2 > 0) & (s3 * s4 > 0)
+            s5 = cross3(q1x, q1y, p1x, p1y, p0x, p0y)
+            use_fast = jnp.abs(s5 - s1) > EPS
+            denom_fast = jnp.where(use_fast, s5 - s1, 1.0)
+            fast_x = (s5 * q0x - s1 * q1x) / denom_fast
+            fast_y = (s5 * q0y - s1 * q1y) / denom_fast
 
-    s5 = _cross3(q1, p1, p0)
-    use_fast = jnp.abs(s5 - s1) > EPS
-    denom_fast = jnp.where(use_fast, s5 - s1, 1.0)
-    fast = (s5[..., None] * q0 - s1[..., None] * q1) / denom_fast[..., None]
+            a0 = p0y - p1y
+            b0 = p1x - p0x
+            c0 = p0x * p1y - p1x * p0y
+            a1 = q0y - q1y
+            b1 = q1x - q0x
+            c1 = q0x * q1y - q1x * q0y
+            D = a0 * b1 - a1 * b0
+            D_safe = jnp.where(jnp.abs(D) > 0, D, 1.0)
+            slow_x = (b0 * c1 - b1 * c0) / D_safe
+            slow_y = (a1 * c0 - a0 * c1) / D_safe
 
-    # Degenerate branch: solve the two line equations directly (:83-88).
-    a0c = p0[..., 1] - p1[..., 1]
-    b0c = p1[..., 0] - p0[..., 0]
-    c0c = p0[..., 0] * p1[..., 1] - p1[..., 0] * p0[..., 1]
-    a1c = q0[..., 1] - q1[..., 1]
-    b1c = q1[..., 0] - q0[..., 0]
-    c1c = q0[..., 0] * q1[..., 1] - q1[..., 0] * q0[..., 1]
-    D = a0c * b1c - a1c * b0c
-    D_safe = jnp.where(jnp.abs(D) > 0, D, 1.0)
-    slow_x = (b0c * c1c - b1c * c0c) / D_safe
-    slow_y = (a1c * c0c - a0c * c1c) / D_safe
-    slow = jnp.stack([slow_x, slow_y], axis=-1)
+            # FMA-contraction guard: in exact arithmetic a valid crossing
+            # (s-products > 0) implies non-parallel edges, i.e. a usable
+            # denominator.  Under jit the compiler may contract the cross
+            # products into FMAs, flipping exact zeros on touching/parallel
+            # edges to tiny +/- noise and admitting garbage slow-path
+            # points; requiring a non-degenerate denominator restores the
+            # exact-arithmetic behavior without changing any true case.
+            valid = valid & (use_fast | (jnp.abs(D) > EPS))
 
-    pts = jnp.where(use_fast[..., None], fast, slow)
-    pts = jnp.where(valid[..., None], pts, 0.0)
+            cand_x.append(jnp.where(valid, jnp.where(use_fast, fast_x, slow_x), 0.0))
+            cand_y.append(jnp.where(valid, jnp.where(use_fast, fast_y, slow_y), 0.0))
+            cand_v.append(valid)
 
-    shp = pts.shape[:-3]
-    return pts.reshape(shp + (16, 2)), valid.reshape(shp + (16,))
-
-
-def _corners_in_box(boxes, corners):
-    """check_in_box2d (:51-61) for each of 4 corners, margin 1e-2."""
+    # contained corners (check_in_box2d, :51-61), per corner k: b_k-in-a
+    # then a_k-in-b (:176-194)
     MARGIN = 1e-2
-    cx = boxes[..., None, 0]
-    cy = boxes[..., None, 1]
-    cosr = jnp.cos(-boxes[..., None, 6])
-    sinr = jnp.sin(-boxes[..., None, 6])
-    dx = corners[..., 0] - cx
-    dy = corners[..., 1] - cy
-    rot_x = dx * cosr - dy * sinr
-    rot_y = dx * sinr + dy * cosr
-    return (jnp.abs(rot_x) < boxes[..., None, 3] / 2.0 + MARGIN) & (
-        jnp.abs(rot_y) < boxes[..., None, 4] / 2.0 + MARGIN
-    )
+    a_cx = boxes_a[:, 0:1]
+    a_cy = boxes_a[:, 1:2]
+    a_hx = boxes_a[:, 3:4] / 2.0
+    a_hy = boxes_a[:, 4:5] / 2.0
+    a_cos = jnp.cos(-boxes_a[:, 6:7])
+    a_sin = jnp.sin(-boxes_a[:, 6:7])
+    b_cx = boxes_b[None, :, 0]
+    b_cy = boxes_b[None, :, 1]
+    b_hx = boxes_b[None, :, 3] / 2.0
+    b_hy = boxes_b[None, :, 4] / 2.0
+    b_cos = jnp.cos(-boxes_b[None, :, 6])
+    b_sin = jnp.sin(-boxes_b[None, :, 6])
 
+    for k in range(4):
+        # corner k of b inside box a
+        px, py = Bc(k)
+        dx = px - a_cx
+        dy = py - a_cy
+        rx = dx * a_cos - dy * a_sin
+        ry = dx * a_sin + dy * a_cos
+        inside = (jnp.abs(rx) < a_hx + MARGIN) & (jnp.abs(ry) < a_hy + MARGIN)
+        cand_x.append(jnp.where(inside, jnp.broadcast_to(px, inside.shape), 0.0))
+        cand_y.append(jnp.where(inside, jnp.broadcast_to(py, inside.shape), 0.0))
+        cand_v.append(inside)
+        # corner k of a inside box b
+        px, py = A(k)
+        dx = px - b_cx
+        dy = py - b_cy
+        rx = dx * b_cos - dy * b_sin
+        ry = dx * b_sin + dy * b_cos
+        inside = (jnp.abs(rx) < b_hx + MARGIN) & (jnp.abs(ry) < b_hy + MARGIN)
+        cand_x.append(jnp.where(inside, jnp.broadcast_to(px, inside.shape), 0.0))
+        cand_y.append(jnp.where(inside, jnp.broadcast_to(py, inside.shape), 0.0))
+        cand_v.append(inside)
 
-def _pair_overlap(box_a, box_b, ca, cb):
-    """BEV overlap area for broadcast pairs.
+    xs = jnp.stack(cand_x, axis=0)  # (24, N, M)
+    ys = jnp.stack(cand_y, axis=0)
+    vs = jnp.stack(cand_v, axis=0)
 
-    Args:
-        box_a, box_b: (..., 7); ca, cb: (..., 4, 2) their corners.
-    Returns:
-        (...,) float32 overlap area.
-    """
-    inter_pts, inter_valid = _segment_intersections(ca, cb)
+    cnt = jnp.sum(vs, axis=0)
+    cnt_safe = jnp.maximum(cnt, 1).astype(xs.dtype)
+    cx0 = jnp.sum(jnp.where(vs, xs, 0.0), axis=0) / cnt_safe
+    cy0 = jnp.sum(jnp.where(vs, ys, 0.0), axis=0) / cnt_safe
 
-    b_in_a = _corners_in_box(box_a, cb)  # (..., 4)
-    a_in_b = _corners_in_box(box_b, ca)
+    ang = jnp.arctan2(ys - cy0[None], xs - cx0[None])
+    ang = jnp.where(vs, ang, jnp.inf)
+    # stable sort along the candidate axis (major dim: lane-parallel on
+    # TPU).  The multi-operand lax.sort is ~20x faster than argsort +
+    # 3 gathers on TPU, but produced wrong co-sorting for batched operands
+    # on the CPU backend (XLA:CPU variadic-sort bug) — dispatch per backend.
+    if jax.default_backend() == "tpu":
+        _, xs_s, ys_s, vs_i = jax.lax.sort(
+            (ang, xs, ys, vs.astype(jnp.int32)), dimension=0, num_keys=1,
+            is_stable=True,
+        )
+        vs_s = vs_i > 0
+    else:
+        order = jnp.argsort(ang, axis=0, stable=True)
+        xs_s = jnp.take_along_axis(xs, order, axis=0)
+        ys_s = jnp.take_along_axis(ys, order, axis=0)
+        vs_s = jnp.take_along_axis(vs, order, axis=0)
 
-    # Candidate order parity with the reference: 16 intersections, then per
-    # corner k: b_k (if inside a) then a_k (if inside b)
-    # (iou3d_nms_kernel.cu:176-194).
-    shape = jnp.broadcast_shapes(ca.shape, cb.shape)
-    ca = jnp.broadcast_to(ca, shape)
-    cb = jnp.broadcast_to(cb, shape)
-    corner_pts = jnp.stack([cb, ca], axis=-3)  # (..., 2, 4, 2)
-    corner_pts = jnp.swapaxes(corner_pts, -3, -2)  # (..., 4, 2, 2) k-major
-    corner_valid = jnp.stack([b_in_a, a_in_b], axis=-1)  # (..., 4, 2) k-major
-    shp = inter_pts.shape[:-2]
-    corner_pts = corner_pts.reshape(shp + (8, 2))
-    corner_valid = corner_valid.reshape(shp + (8,))
-
-    pts = jnp.concatenate([inter_pts, corner_pts], axis=-2)  # (..., 24, 2)
-    valid = jnp.concatenate([inter_valid, corner_valid], axis=-1)
-
-    cnt = jnp.sum(valid, axis=-1)
-    cnt_safe = jnp.maximum(cnt, 1).astype(pts.dtype)
-    center = jnp.sum(jnp.where(valid[..., None], pts, 0.0), axis=-2) / cnt_safe[..., None]
-
-    ang = jnp.arctan2(pts[..., 1] - center[..., None, 1], pts[..., 0] - center[..., None, 0])
-    ang = jnp.where(valid, ang, jnp.inf)
-    order = jnp.argsort(ang, axis=-1, stable=True)
-    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
-
-    p0 = pts_sorted[..., 0:1, :]
-    pts_final = jnp.where(valid_sorted[..., None], pts_sorted, p0)
-
-    v = pts_final - p0  # (..., 24, 2)
-    tri = _cross2(v[..., :-1, :], v[..., 1:, :])  # (..., 23)
-    area = jnp.abs(jnp.sum(tri, axis=-1)) / 2.0
+    x0 = xs_s[0:1]
+    y0 = ys_s[0:1]
+    xf = jnp.where(vs_s, xs_s, x0)
+    yf = jnp.where(vs_s, ys_s, y0)
+    vx = xf - x0
+    vy = yf - y0
+    tri = vx[:-1] * vy[1:] - vx[1:] * vy[:-1]
+    area = jnp.abs(jnp.sum(tri, axis=0)) / 2.0
     return jnp.where(cnt > 0, area, 0.0)
 
 
@@ -185,15 +197,8 @@ def boxes_overlap_bev(boxes_a, boxes_b):
     Returns:
         (N, M) float32 overlap areas.
     """
-    boxes_a = boxes_a.astype(jnp.float32)
-    boxes_b = boxes_b.astype(jnp.float32)
-    ca = box_corners_bev(boxes_a)  # (N, 4, 2)
-    cb = box_corners_bev(boxes_b)  # (M, 4, 2)
-    return _pair_overlap(
-        boxes_a[:, None, :],
-        boxes_b[None, :, :],
-        ca[:, None, :, :],
-        cb[None, :, :, :],
+    return _pair_overlap_planes(
+        boxes_a.astype(jnp.float32), boxes_b.astype(jnp.float32)
     )
 
 

@@ -34,6 +34,8 @@ def parse_config():
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
                         help="set extra config keys if needed")
     parser.add_argument("--num_epochs_to_eval", type=int, default=5)
+    parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
+                        default=False)
     parser.add_argument("--profile", action="store_true", default=False,
                         help="capture a jax.profiler trace of a few train steps")
 
@@ -94,6 +96,8 @@ def main():
         logger=logger,
         rank=jax.process_index(),
         world=jax.process_count(),
+        merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+        total_epochs=epochs,
     )
 
     model = build_network(
