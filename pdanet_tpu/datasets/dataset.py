@@ -146,11 +146,26 @@ class DatasetTemplate:
                 ret[key] = np.stack(padded, axis=0)
             elif key == "points":
                 lens = {v.shape[0] for v in val}
-                assert len(lens) == 1, (
-                    "dense collate requires the sample_points processor to fix "
-                    f"the per-frame budget; got point counts {sorted(lens)}"
-                )
-                ret[key] = np.stack(val, axis=0).astype(np.float32)
+                if len(lens) == 1:
+                    # fixed budget (sample_points processor): exact stack —
+                    # the point-based models rely on this (no padding ever
+                    # reaches FPS/BN, matching the reference's property)
+                    ret[key] = np.stack(val, axis=0).astype(np.float32)
+                else:
+                    # ragged frames (voxel-model configs don't run
+                    # sample_points): zero-pad to the batch max; voxel
+                    # models consume 'voxels', not 'points'
+                    n_max = max(lens)
+                    ret[key] = np.stack(
+                        [
+                            np.pad(v, [(0, n_max - v.shape[0]), (0, 0)])
+                            for v in val
+                        ],
+                        axis=0,
+                    ).astype(np.float32)
+                    ret["num_points"] = np.array(
+                        [v.shape[0] for v in val], dtype=np.int32
+                    )
             elif key == "gt_boxes":
                 max_gt = max([len(x) for x in val]) if val else 0
                 max_gt = max(max_gt, 1)

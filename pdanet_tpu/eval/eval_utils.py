@@ -62,12 +62,11 @@ def eval_one_epoch(
     infer_time_meter = []
     num_iters = len(dataloader)
 
+    from ..train.train_utils import select_device_batch
+
     for i, batch_dict in enumerate(dataloader):
-        dev_batch = {
-            k: v
-            for k, v in batch_dict.items()
-            if k in ("points", "voxels", "voxel_coords", "voxel_num_points")
-        }
+        dev_batch = select_device_batch(batch_dict)
+        dev_batch.pop("gt_boxes", None)
         t0 = time.time()
         pred = forward(variables, dev_batch)
         pred = jax.tree.map(np.asarray, jax.block_until_ready(pred))

@@ -24,6 +24,17 @@ import optax
 from ..parallel import batch_sharding, make_data_mesh, replicate, shard_batch
 
 
+def select_device_batch(batch):
+    """Keys that go to the device, by model family: voxel models consume
+    the voxel triplet (ragged padded 'points' would retrigger compilation
+    every step), point models the fixed-budget points."""
+    if "voxels" in batch:
+        keys = ("voxels", "voxel_coords", "voxel_num_points", "gt_boxes")
+    else:
+        keys = ("points", "gt_boxes")
+    return {k: batch[k] for k in keys if k in batch}
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -181,15 +192,7 @@ def train_model(
         end = time.time()
         for batch in train_loader:
             data_time = time.time() - end
-            dev_batch = shard_batch(
-                mesh,
-                {
-                    k: v
-                    for k, v in batch.items()
-                    if k in ("points", "gt_boxes", "voxels", "voxel_coords",
-                             "voxel_num_points")
-                },
-            )
+            dev_batch = shard_batch(mesh, select_device_batch(batch))
             state, loss, tb = train_step(state, dev_batch)
             loss = float(loss)
             accumulated_iter += 1

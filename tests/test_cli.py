@@ -197,3 +197,140 @@ def test_train_and_test_cli(cli_env, tmp_path):
     assert set(det_annos[0].keys()) >= {
         "name", "score", "boxes_lidar", "bbox", "location", "frame_id",
     }
+
+
+PP_TINY_CFG = """CLASS_NAMES: ['Car', 'Pedestrian', 'Cyclist']
+
+DATA_CONFIG:
+    DATASET: 'KittiDataset'
+    DATA_PATH: '{data_path}'
+    POINT_CLOUD_RANGE: [0, -12.8, -3, 25.6, 12.8, 1]
+    DATA_SPLIT: {{'train': train, 'test': val}}
+    INFO_PATH: {{'train': [kitti_infos_train.pkl], 'test': [kitti_infos_val.pkl]}}
+    GET_ITEM_LIST: ["points"]
+    FOV_POINTS_ONLY: False
+    DATA_AUGMENTOR:
+        DISABLE_AUG_LIST: ['placeholder']
+        AUG_CONFIG_LIST:
+            - NAME: random_world_flip
+              ALONG_AXIS_LIST: ['x']
+    POINT_FEATURE_ENCODING: {{
+        encoding_type: absolute_coordinates_encoding,
+        used_feature_list: ['x', 'y', 'z', 'intensity'],
+        src_feature_list: ['x', 'y', 'z', 'intensity'],
+    }}
+    DATA_PROCESSOR:
+        - NAME: mask_points_and_boxes_outside_range
+          REMOVE_OUTSIDE_BOXES: True
+        - NAME: shuffle_points
+          SHUFFLE_ENABLED: {{'train': True, 'test': False}}
+        - NAME: transform_points_to_voxels
+          VOXEL_SIZE: [0.4, 0.4, 4]
+          MAX_POINTS_PER_VOXEL: 8
+          MAX_NUMBER_OF_VOXELS: {{'train': 2048, 'test': 2048}}
+
+MODEL:
+    NAME: PointPillar
+    VFE:
+        NAME: PillarVFE
+        WITH_DISTANCE: False
+        USE_ABSLOTE_XYZ: True
+        USE_NORM: True
+        NUM_FILTERS: [16]
+    MAP_TO_BEV:
+        NAME: PointPillarScatter
+        NUM_BEV_FEATURES: 16
+    BACKBONE_2D:
+        NAME: BaseBEVBackbone
+        LAYER_NUMS: [2, 2]
+        LAYER_STRIDES: [2, 2]
+        NUM_FILTERS: [16, 32]
+        UPSAMPLE_STRIDES: [1, 2]
+        NUM_UPSAMPLE_FILTERS: [16, 16]
+    DENSE_HEAD:
+        NAME: AnchorHeadSingle
+        CLASS_AGNOSTIC: False
+        USE_DIRECTION_CLASSIFIER: True
+        DIR_OFFSET: 0.78539
+        DIR_LIMIT_OFFSET: 0.0
+        NUM_DIR_BINS: 2
+        ANCHOR_GENERATOR_CONFIG: [
+            {{'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+              'align_center': False, 'feature_map_stride': 2,
+              'matched_threshold': 0.6, 'unmatched_threshold': 0.45}},
+            {{'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+              'align_center': False, 'feature_map_stride': 2,
+              'matched_threshold': 0.5, 'unmatched_threshold': 0.35}},
+            {{'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+              'align_center': False, 'feature_map_stride': 2,
+              'matched_threshold': 0.5, 'unmatched_threshold': 0.35}}
+        ]
+        TARGET_ASSIGNER_CONFIG:
+            NAME: AxisAlignedTargetAssigner
+            POS_FRACTION: -1.0
+            SAMPLE_SIZE: 512
+            NORM_BY_NUM_EXAMPLES: False
+            MATCH_HEIGHT: False
+            BOX_CODER: ResidualCoder
+        LOSS_CONFIG:
+            LOSS_WEIGHTS: {{'cls_weight': 1.0, 'loc_weight': 2.0,
+                            'dir_weight': 0.2, 'code_weights': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]}}
+    POST_PROCESSING:
+        RECALL_THRESH_LIST: [0.3, 0.5, 0.7]
+        SCORE_THRESH: 0.1
+        OUTPUT_RAW_SCORE: False
+        EVAL_METRIC: kitti
+        NMS_CONFIG:
+            MULTI_CLASSES_NMS: False
+            NMS_TYPE: nms_gpu
+            NMS_THRESH: 0.01
+            NMS_PRE_MAXSIZE: 256
+            NMS_POST_MAXSIZE: 32
+
+OPTIMIZATION:
+    BATCH_SIZE_PER_GPU: 2
+    NUM_EPOCHS: 1
+    OPTIMIZER: adam_onecycle
+    LR: 0.003
+    WEIGHT_DECAY: 0.01
+    MOMENTUM: 0.9
+    MOMS: [0.95, 0.85]
+    PCT_START: 0.4
+    DIV_FACTOR: 10
+    DECAY_STEP_LIST: [35, 45]
+    LR_DECAY: 0.1
+    LR_CLIP: 0.0000001
+    LR_WARMUP: False
+    WARMUP_EPOCH: 1
+    GRAD_NORM_CLIP: 10
+"""
+
+
+def test_pointpillar_cli(cli_env, tmp_path):
+    """Second model family (voxel pipeline) through the same CLIs."""
+    root, _, env = cli_env
+    cfg_file = root / "cfgs" / "kitti_models" / "pointpillar-tiny.yaml"
+    cfg_file.write_text(PP_TINY_CFG.format(data_path=root))
+    workdir = tmp_path / "pp_run"
+    workdir.mkdir()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/train.py"), "--cfg_file", str(cfg_file),
+         "--extra_tag", "pp_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert ckpts, "no checkpoint produced"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file", str(cfg_file),
+         "--ckpt", str(ckpts[0]), "--extra_tag", "pp_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl produced"

@@ -108,14 +108,11 @@ def main():
             f"dataset ({len(train_set)} frames) smaller than the global batch "
             f"({global_batch}); reduce --batch_size or device count"
         )
+    from pdanet_tpu.train.train_utils import select_device_batch
+
     rng = jax.random.PRNGKey(0)
     example_batch = next(iter(train_loader))
-    example = {
-        k: v
-        for k, v in example_batch.items()
-        if k in ("points", "gt_boxes", "voxels", "voxel_coords",
-                 "voxel_num_points")
-    }
+    example = select_device_batch(example_batch)
     variables = jax.jit(
         lambda r, b: model.init(
             {"params": r}, b, train=False, method=model.forward_batch
