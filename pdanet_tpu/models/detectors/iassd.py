@@ -9,7 +9,7 @@ The module topology honors the reference's 8-slot builder contract
 point_head, the rest are None.
 """
 
-from typing import Any, Dict
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -20,7 +20,6 @@ from ...utils.box_coder_utils import build_box_coder
 from ...utils.easydict import EasyDict
 from ..backbones_3d.iassd_backbone import IASSDBackbone
 from ..dense_heads import iassd_head
-from ..model_utils.model_nms_utils import class_agnostic_nms
 
 
 class IASSD(nn.Module):

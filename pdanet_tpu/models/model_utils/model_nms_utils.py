@@ -14,6 +14,10 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
         box_scores: (N,) sigmoid scores; box_preds: (N, 7).
     Returns:
         selected: (POST,) int32 indices (-1 padded), count, scores.
+
+    NOTE: on TPU the greedy walk is a Pallas kernel that cannot run under
+    vmap; for batched frames use ``detectors.iassd.post_processing`` (it
+    batches the walk on the leading axis).
     """
     return nms_rotated(
         box_preds,
