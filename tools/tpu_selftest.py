@@ -1,0 +1,102 @@
+"""On-device self-test for the TPU-only code paths.
+
+The pytest suite runs on a virtual CPU mesh, where the Pallas kernels
+(FPS, greedy NMS) and the TPU sort path of the rotated IoU are NOT
+exercised.  Run this on a real chip to validate them against their XLA /
+oracle twins:
+
+    python tools/tpu_selftest.py
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from pdanet_tpu import ops
+    from pdanet_tpu.ops.nms import _greedy_nms_mask_xla
+    from pdanet_tpu.ops.pallas.fps import farthest_point_sample_pallas
+    from pdanet_tpu.ops.pallas.nms import greedy_nms_mask_pallas
+    from pdanet_tpu.ops.sampling import _farthest_point_sample_xla
+
+    failures = []
+
+    # Pallas FPS == XLA FPS (several shapes incl. non-multiple-of-128 N)
+    for (B, N, m) in [(1, 1024, 256), (2, 4096, 512), (1, 3000, 128)]:
+        xyz = jax.random.normal(jax.random.PRNGKey(B * N), (B, N, 3)) * 10
+        a = np.asarray(_farthest_point_sample_xla(xyz, m))
+        b = np.asarray(farthest_point_sample_pallas(xyz, m))
+        ok = np.array_equal(a, b)
+        print(f"fps pallas vs xla (B={B}, N={N}, m={m}): "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append("fps")
+
+    # Pallas NMS == XLA NMS
+    rng = np.random.RandomState(0)
+    for K in (128, 256, 512):
+        iou = rng.rand(K, K).astype(np.float32) * 0.4
+        iou = np.maximum(iou, iou.T)
+        np.fill_diagonal(iou, 1.0)
+        valid = rng.rand(K) > 0.1
+        a = np.asarray(
+            _greedy_nms_mask_xla(jnp.asarray(iou), jnp.asarray(valid), 0.1)
+        )
+        b = np.asarray(
+            greedy_nms_mask_pallas(
+                jnp.asarray(iou)[None], jnp.asarray(valid)[None], 0.1
+            )
+        )[0]
+        ok = np.array_equal(a, b)
+        print(f"nms pallas vs xla (K={K}): {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append("nms")
+
+    # TPU rotated IoU (lax.sort path) vs the numpy eval port
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from oracles import boxes_iou_bev_oracle
+
+    boxes = np.zeros((24, 7), np.float32)
+    boxes[:, 0:2] = (rng.rand(24, 2) - 0.5) * 20
+    boxes[:, 3:6] = rng.rand(24, 3) * 4 + 0.3
+    boxes[:, 6] = (rng.rand(24) - 0.5) * 2 * np.pi
+    got = np.asarray(ops.boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    want = boxes_iou_bev_oracle(boxes, boxes)
+    err = float(np.abs(got - want).max())
+    print(f"rotated iou vs oracle: max err {err:.2e} "
+          f"{'OK' if err < 2e-3 else 'MISMATCH'}")
+    if err >= 2e-3:
+        failures.append("iou")
+
+    # ball query vs oracle on TPU
+    from oracles import ball_query_oracle
+
+    xyz = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (2, 512, 3)) * 4
+    )
+    centers = xyz[:, :64]
+    got = np.asarray(
+        ops.ball_query_op(1.0, 16, jnp.asarray(xyz), jnp.asarray(centers))
+    )
+    want = ball_query_oracle(1.0, 16, xyz, centers)
+    ok = np.array_equal(got, want)
+    print(f"ball query vs oracle: {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        failures.append("ball_query")
+
+    if failures:
+        raise SystemExit(f"TPU self-test FAILED: {failures}")
+    print("TPU_SELFTEST_OK")
+
+
+if __name__ == "__main__":
+    main()
