@@ -265,6 +265,107 @@ def compute_statistics(
     return tp, fp, fn, similarity, thresholds[:thresh_idx]
 
 
+def compute_statistics_all_thresholds(
+    overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc_bboxes, metric,
+    min_overlap, thresholds, compute_aos=False,
+):
+    """Vectorized twin of ``compute_statistics(compute_fp=True)`` over ALL
+    score thresholds at once.
+
+    The reference walks (thresholds x frames) in python — ~2.7M matching
+    calls for a full KITTI val run.  Here the gt loop stays python but the
+    detection argmax and the assigned/suppressed state are (T, num_dt)
+    numpy arrays, one frame pass for all 41 thresholds.
+
+    Returns pr: (T, 4) array of [tp, fp, fn, similarity-sum].
+    """
+    T = len(thresholds)
+    det_size = dt_datas.shape[0]
+    gt_size = gt_datas.shape[0]
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    dt_bboxes = dt_datas[:, :4]
+    thresholds = np.asarray(thresholds)
+
+    NO_DET = NO_DETECTION
+    assigned = np.zeros((T, det_size), dtype=bool)
+    under_threshold = dt_scores[None, :] < thresholds[:, None]  # (T, D)
+    ign_det = np.asarray(ignored_det)
+    base_det_ok = ign_det != -1  # (D,)
+
+    tp = np.zeros(T, dtype=np.int64)
+    fp = np.zeros(T, dtype=np.int64)
+    fn = np.zeros(T, dtype=np.int64)
+    delta_sum = np.zeros(T, dtype=np.float64)
+    delta_cnt = np.zeros(T, dtype=np.int64)
+
+    for i in range(gt_size):
+        if ignored_gt[i] == -1:
+            continue
+        ov = overlaps[:, i]  # (D,)
+        usable = (
+            base_det_ok[None, :]
+            & ~assigned
+            & ~under_threshold
+            & (ov[None, :] > min_overlap)
+        )  # (T, D)
+        # preferred: real detections (ignored_det == 0) by max overlap
+        real = usable & (ign_det == 0)[None, :]
+        ov_masked = np.where(real, ov[None, :], -np.inf)
+        best_real = np.argmax(ov_masked, axis=1)  # (T,)
+        has_real = np.isfinite(ov_masked[np.arange(T), best_real])
+        # fallback: ignored detections (ignored_det == 1), first in scan
+        # order (the reference keeps the first such j it encounters)
+        ignored_ok = usable & (ign_det == 1)[None, :]
+        first_ign = np.argmax(ignored_ok, axis=1)
+        has_ign = ignored_ok[np.arange(T), first_ign]
+
+        det_idx = np.where(has_real, best_real, first_ign)
+        detected = has_real | has_ign
+        assigned_to_ignore = ~has_real & has_ign
+
+        if ignored_gt[i] == 0:
+            fn += (~detected).astype(np.int64)
+        # detected & (gt ignored OR det ignored): just consume the det
+        consume_only = detected & (
+            (ignored_gt[i] == 1) | assigned_to_ignore
+        )
+        true_pos = detected & ~consume_only
+        tp += true_pos.astype(np.int64)
+        if compute_aos:
+            d = gt_alphas[i] - dt_alphas[det_idx]
+            sim = (1.0 + np.cos(d)) / 2.0
+            delta_sum += np.where(true_pos, sim, 0.0)
+            delta_cnt += true_pos.astype(np.int64)
+        assigned[np.arange(T), det_idx] |= detected
+
+    # false positives: unassigned, real-class, above threshold detections
+    fp_mask = (
+        ~assigned & (ign_det == 0)[None, :] & ~under_threshold
+    )
+    fp = fp_mask.sum(axis=1).astype(np.int64)
+
+    # dontcare absorption (metric 0 only)
+    if metric == 0 and len(dc_bboxes) > 0:
+        dc = np.asarray(dc_bboxes).reshape(-1, 4)
+        overlaps_dt_dc = image_box_overlap(dt_bboxes, dc, 0)  # (D, ndc)
+        absorbed = np.zeros((T, det_size), dtype=bool)
+        hit_dc = (overlaps_dt_dc > min_overlap).any(axis=1)  # (D,)
+        absorbed = fp_mask & hit_dc[None, :]
+        fp -= absorbed.sum(axis=1).astype(np.int64)
+
+    sim_col = np.zeros(T, dtype=np.float64)
+    if compute_aos:
+        # reference sums (1+cos)/2 over TPs and zero-pads FPs; rows with
+        # tp+fp == 0 contribute -1 (treated as "skip" by the accumulator)
+        sim_col = np.where((tp + fp) > 0, delta_sum, -1.0)
+    return np.stack(
+        [tp.astype(np.float64), fp.astype(np.float64), fn.astype(np.float64),
+         sim_col], axis=1,
+    )
+
+
 def _prepare_overlaps(gt_annos, dt_annos, metric):
     """Per-frame (num_dt, num_gt) overlap matrices."""
     overlaps = []
@@ -355,17 +456,14 @@ def eval_class(
                 )
                 pr = np.zeros([len(thresholds), 4])
                 for ov, fd in zip(overlaps, frame_data):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
-                            ov, fd[0], fd[1], fd[2], fd[3], fd[4], metric,
-                            min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos,
-                        )
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                    stats = compute_statistics_all_thresholds(
+                        ov, fd[0], fd[1], fd[2], fd[3], fd[4], metric,
+                        min_overlap=min_overlap, thresholds=thresholds,
+                        compute_aos=compute_aos,
+                    )
+                    pr[:, 0:3] += stats[:, 0:3]
+                    sim = stats[:, 3]
+                    pr[:, 3] += np.where(sim != -1, sim, 0.0)
                 for i in range(len(thresholds)):
                     recall[m, ld, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, ld, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

@@ -288,3 +288,49 @@ def test_once_infos_and_getitem(once_root):
     with open(once_root / "once_dbinfos_train.pkl", "rb") as f:
         db = pickle.load(f)
     assert sum(len(v) for v in db.values()) == 9  # 3 frames x 3 objects
+
+
+def test_kitti_matcher_vectorized_vs_sequential():
+    """compute_statistics_all_thresholds must reproduce the per-threshold
+    python matcher exactly (tp/fp/fn and AOS similarity)."""
+    from pdanet_tpu.datasets.kitti.kitti_object_eval_python.eval import (
+        compute_statistics,
+        compute_statistics_all_thresholds,
+    )
+
+    rng = np.random.RandomState(4)
+    for trial in range(8):
+        num_gt = rng.randint(1, 10)
+        num_dt = rng.randint(0, 14)
+        overlaps = rng.rand(num_dt, num_gt)
+        gt_datas = np.concatenate(
+            [rng.rand(num_gt, 4) * 300, rng.uniform(-3, 3, (num_gt, 1))], axis=1
+        )
+        dt_datas = np.concatenate(
+            [rng.rand(num_dt, 4) * 300, rng.uniform(-3, 3, (num_dt, 1)),
+             rng.rand(num_dt, 1)], axis=1,
+        )
+        ignored_gt = rng.choice([-1, 0, 1], num_gt).tolist()
+        ignored_det = rng.choice([-1, 0, 1], num_dt).tolist()
+        dc_bboxes = [rng.rand(4) * 300 for _ in range(rng.randint(0, 3))]
+        thresholds = np.sort(rng.rand(7))[::-1]
+        metric = trial % 3
+
+        vec = compute_statistics_all_thresholds(
+            overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc_bboxes,
+            metric, min_overlap=0.5, thresholds=thresholds, compute_aos=True,
+        )
+        for t, th in enumerate(thresholds):
+            tp, fp, fn, sim, _ = compute_statistics(
+                overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                dc_bboxes, metric, min_overlap=0.5, thresh=th,
+                compute_fp=True, compute_aos=True,
+            )
+            assert vec[t, 0] == tp, (trial, t, "tp", vec[t, 0], tp)
+            assert vec[t, 1] == fp, (trial, t, "fp", vec[t, 1], fp)
+            assert vec[t, 2] == fn, (trial, t, "fn", vec[t, 2], fn)
+            ref_sim = sim if sim != -1 else -1
+            if ref_sim == -1:
+                assert vec[t, 3] == -1, (trial, t, "sim")
+            else:
+                np.testing.assert_allclose(vec[t, 3], ref_sim, rtol=1e-9)
