@@ -1,0 +1,93 @@
+"""Voxel 3D backbone — counterpart of
+``pcdet/models/backbones_3d/spconv_backbone.py`` (VoxelBackBone8x,
+:15-118, and VoxelResBackBone8x, :121-293).
+
+TPU-first divergence: the reference runs submanifold/sparse 3D convs
+(spconv).  XLA has no sparse conv primitive and the MXU wants dense
+batched contractions, so the rebuild scatters the (B, V, C) voxel
+features into a dense channels-last ``(B, Z, Y, X, C)`` grid once and
+runs ordinary ``nn.Conv`` 3D stacks — the same stage layout (x1, x2
+stride-2, x3 stride-2, x4 stride-2, z-compressing conv_out), the same
+channel ladder (16-16-32-64-64-128), SAME padding.  At KITTI/ONCE grid
+sizes the dense grid is MXU-tileable and XLA fuses the BN+ReLU chains;
+a gather-matmul submanifold formulation (host-built rulebooks) is the
+planned upgrade for very large grids (see docs/STATUS.md).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...utils.easydict import EasyDict
+
+
+def scatter_to_dense(voxel_features, voxel_coords, grid_size):
+    """(B, V, C) + (B, V, 3) zyx coords (-1 pads) -> (B, Z, Y, X, C)."""
+    B, V, C = voxel_features.shape
+    nx, ny, nz = int(grid_size[0]), int(grid_size[1]), int(grid_size[2])
+    valid = voxel_coords[..., 0] >= 0
+    zs = jnp.where(valid, voxel_coords[..., 0], nz)  # oob -> dropped
+    ys = jnp.where(valid, voxel_coords[..., 1], ny)
+    xs = jnp.where(valid, voxel_coords[..., 2], nx)
+    feats = jnp.where(valid[..., None], voxel_features, 0.0)
+    canvas = jnp.zeros((B, nz, ny, nx, C), dtype=voxel_features.dtype)
+    batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, V))
+    return canvas.at[batch_idx, zs, ys, xs].set(feats, mode="drop")
+
+
+class Conv3DBNReLU(nn.Module):
+    features: int
+    kernel: Any = (3, 3, 3)
+    stride: Any = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(
+            self.features, kernel_size=tuple(self.kernel),
+            strides=tuple(self.stride), padding="SAME", use_bias=False,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+        )(x)
+        return nn.relu(x)
+
+
+class VoxelBackBone8x(nn.Module):
+    """Stage layout of spconv_backbone.py:15-118 on a dense grid.
+
+    Returns the z-compressed BEV map ``(B, Y/8, X/8, Z_out * C_out)``
+    directly (HeightCompression folded in — on a dense layout it is a
+    pure reshape, map_to_bev/height_compression.py:8-26 of the
+    reference).
+    """
+
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any  # (nx, ny, nz)
+
+    @nn.compact
+    def __call__(self, voxel_features, voxel_coords, train=False):
+        cfg = EasyDict(self.model_cfg)
+        widths = list(cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64]))
+        c_out = int(cfg.get("NUM_OUTPUT_FEATURES", 128))
+
+        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        x = Conv3DBNReLU(widths[0], name="conv_input")(x, train)
+        x = Conv3DBNReLU(widths[1], name="conv1")(x, train)
+        x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down")(
+            x, train)
+        x = Conv3DBNReLU(widths[2], name="conv2")(x, train)
+        x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down")(
+            x, train)
+        x = Conv3DBNReLU(widths[3], name="conv3")(x, train)
+        x = Conv3DBNReLU(widths[4], stride=(2, 2, 2), name="conv4_down")(
+            x, train)
+        x = Conv3DBNReLU(widths[4], name="conv4")(x, train)
+        # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv (ref :100-105)
+        x = Conv3DBNReLU(
+            c_out, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
+        )(x, train)
+        # height compression: (B, Z', Y', X', C) -> (B, Y', X', Z'*C)
+        B, Z, Y, X, C = x.shape
+        return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)

@@ -2,10 +2,12 @@
 
 from .iassd import IASSD
 from .pointpillar import PointPillar
+from .second import SECOND
 
 __all__ = {
     "IASSD": IASSD,
     "PointPillar": PointPillar,
+    "SECOND": SECOND,
 }
 
 
@@ -23,7 +25,7 @@ def build_network(model_cfg, num_class, dataset=None, input_channels=4,
     geometry/class names are derived from it."""
     if dataset is not None:
         input_channels = dataset.point_feature_encoder.num_point_features
-        if model_cfg.NAME in ("PointPillar",):
+        if model_cfg.NAME in ("PointPillar", "SECOND"):
             kwargs.setdefault(
                 "grid_size", tuple(int(x) for x in dataset.grid_size)
             )

@@ -1,0 +1,122 @@
+"""SECOND family tests: dense voxel backbone scatter, forward shapes,
+loss gradients."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pdanet_tpu.models import build_network
+from pdanet_tpu.utils.easydict import EasyDict
+
+GRID = (32, 32, 8)  # (nx, ny, nz)
+
+SECOND_MODEL_CFG = {
+    "NAME": "SECOND",
+    "VFE": {"NAME": "MeanVFE"},
+    "BACKBONE_3D": {
+        "NAME": "VoxelBackBone8x",
+        "NUM_FILTERS": [4, 4, 8, 8, 8],
+        "NUM_OUTPUT_FEATURES": 16,
+    },
+    "MAP_TO_BEV": {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 16},
+    "BACKBONE_2D": {
+        "NAME": "BaseBEVBackbone",
+        "LAYER_NUMS": [2, 2], "LAYER_STRIDES": [1, 2],
+        "NUM_FILTERS": [16, 32], "UPSAMPLE_STRIDES": [1, 2],
+        "NUM_UPSAMPLE_FILTERS": [16, 16],
+    },
+    "DENSE_HEAD": {
+        "NAME": "AnchorHeadSingle", "CLASS_AGNOSTIC": False,
+        "USE_DIRECTION_CLASSIFIER": True, "DIR_OFFSET": 0.78539,
+        "DIR_LIMIT_OFFSET": 0.0, "NUM_DIR_BINS": 2,
+        "ANCHOR_GENERATOR_CONFIG": [
+            {"class_name": "Car", "anchor_sizes": [[3.9, 1.6, 1.56]],
+             "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-1.78],
+             "align_center": False, "feature_map_stride": 8,
+             "matched_threshold": 0.6, "unmatched_threshold": 0.45},
+            {"class_name": "Pedestrian", "anchor_sizes": [[0.8, 0.6, 1.73]],
+             "anchor_rotations": [0, 1.57], "anchor_bottom_heights": [-0.6],
+             "align_center": False, "feature_map_stride": 8,
+             "matched_threshold": 0.5, "unmatched_threshold": 0.35},
+        ],
+        "TARGET_ASSIGNER_CONFIG": {
+            "NAME": "AxisAlignedTargetAssigner", "POS_FRACTION": -1.0,
+            "SAMPLE_SIZE": 512, "NORM_BY_NUM_EXAMPLES": False,
+            "MATCH_HEIGHT": False, "BOX_CODER": "ResidualCoder",
+        },
+        "LOSS_CONFIG": {
+            "LOSS_WEIGHTS": {
+                "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+                "code_weights": [1.0] * 7,
+            }
+        },
+    },
+}
+
+
+def _make_inputs(B=1, V=64, P=5, C=4, seed=0):
+    rng = np.random.RandomState(seed)
+    voxels = rng.rand(B, V, P, C).astype(np.float32)
+    nums = rng.randint(1, P + 1, (B, V)).astype(np.int32)
+    for b in range(B):
+        for v in range(V):
+            voxels[b, v, nums[b, v]:] = 0
+    nx, ny, nz = GRID
+    coords = np.stack(
+        [rng.randint(0, nz, (B, V)), rng.randint(0, ny, (B, V)),
+         rng.randint(0, nx, (B, V))], axis=-1,
+    ).astype(np.int32)
+    coords[:, -V // 4:] = -1  # padding tail
+    voxels[:, -V // 4:] = 0
+    nums[:, -V // 4:] = 0
+    return voxels, coords, nums
+
+
+def _build():
+    return build_network(
+        EasyDict(SECOND_MODEL_CFG), num_class=2,
+        grid_size=GRID, voxel_size=(0.2, 0.2, 0.5),
+        point_cloud_range=(0, -3.2, -3, 6.4, 3.2, 1),
+        class_names=("Car", "Pedestrian"),
+    )
+
+
+def test_second_forward_shapes():
+    model = _build()
+    voxels, coords, nums = _make_inputs()
+    params = model.init(jax.random.PRNGKey(0), voxels, coords, nums)
+    out = jax.jit(
+        lambda p, a, b, c: model.apply(p, a, b, c, train=False)
+    )(params, voxels, coords, nums)
+    # grid 32 /8 = 4x4 feature map; 2 classes x 2 rotations = 4 anchors/loc
+    n_anchors = 4 * 4 * 4
+    assert out["batch_box_preds"].shape == (1, n_anchors, 7)
+    assert out["batch_cls_preds"].shape == (1, n_anchors, 2)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_second_loss_and_grads():
+    model = _build()
+    voxels, coords, nums = _make_inputs(seed=1)
+    variables = model.init(jax.random.PRNGKey(1), voxels, coords, nums)
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0] = [3.0, 0.5, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+    gt[0, 1] = [1.5, -1.0, -0.2, 0.8, 0.6, 1.73, -0.5, 2]
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            voxels, coords, nums, train=True, mutable=["batch_stats"],
+        )
+        loss, tb = model.apply(
+            variables, out, jnp.asarray(gt), ["Car", "Pedestrian"],
+            method=model.loss,
+        )
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
