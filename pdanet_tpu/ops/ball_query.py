@@ -119,15 +119,28 @@ def ball_query(radius, nsample, xyz, new_xyz):
     return ball_query_multi((radius,), (nsample,), xyz, new_xyz)[0]
 
 
-@partial(jax.jit, static_argnames=("radii", "nsamples"))
 def ball_query_multi(radii, nsamples, xyz, new_xyz):
-    """Multi-scale ball query sharing one distance field per center chunk.
+    """Multi-scale ball query sharing one distance field.
+
+    Dispatches to the fused Pallas kernel on TPU (8x the XLA formulation
+    at KITTI L0 scale: the (M, N) field and its cumsum hierarchy stay in
+    VMEM) and to the XLA formulation elsewhere — identical outputs.
 
     Args:
         radii: tuple of radii; nsamples: tuple of K per radius.
     Returns:
         tuple of (B, M, nsample_i) int32 index tensors.
     """
+    if jax.default_backend() == "tpu":
+        from .pallas.ball_query import ball_query_multi_pallas
+
+        return ball_query_multi_pallas(tuple(radii), tuple(nsamples), xyz, new_xyz)
+    return _ball_query_multi_xla(tuple(radii), tuple(nsamples), xyz, new_xyz)
+
+
+@partial(jax.jit, static_argnames=("radii", "nsamples"))
+def _ball_query_multi_xla(radii, nsamples, xyz, new_xyz):
+    """XLA fallback (chunked hierarchical first-K; CPU/GPU path)."""
     B, N, _ = xyz.shape
     iota = jnp.arange(N, dtype=jnp.int32)
     # hoist one transpose: contiguous (B, 3, N) planes; per-component reads

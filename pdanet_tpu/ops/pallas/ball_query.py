@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: fused multi-radius ball query.
+
+Replaces the XLA formulation in ``ops/ball_query.py`` on TPU.  The XLA
+version materializes the (M, N) distance field plus several same-sized
+cumsum/priority intermediates in HBM — ~6 x 256 MB of traffic for the
+KITTI L0 query (16384 pts x 4096 centers), measured at ~17 ms on v5e.
+This kernel keeps everything in VMEM: per 64-center block it streams the
+support points once, computes the distance field, and runs the
+hierarchical first-K selection on-chip, writing only the (M, K) index
+tensors back to HBM.
+
+Semantics are bit-identical to the XLA/CUDA reference
+(``ball_query_gpu.cu:9-45``): for each center, the first ``nsample``
+support indices in scan order with d^2 < r^2; all slots prefilled with the
+first hit; zero hits leave index 0.
+
+Mosaic notes (probed on v5e):
+  * no ``cumsum`` primitive -> lane-local inclusive prefixes are matmuls
+    with a triangular ones matrix (exact: 0/1 inputs and sums <= 128 are
+    integers, exact in bf16 operands with f32 accumulation),
+  * batched ``dot_general`` IS supported -> the "row gather" of the
+    hierarchy (pick the boundary 128-lane sub-chunk per (center, k)) is a
+    one-hot batched matmul on the MXU,
+  * support points and centers arrive as (B, 3, *, len) lane planes;
+    center columns are (1, Mb) -> (Mb, 1) in-kernel transposes.
+
+Large N (ONCE: 60k) is processed in lane chunks of ``_NC`` with a
+cross-chunk merge: per-radius scratch keeps the selected indices and a
+running count, and each chunk's local first-K candidates are shifted into
+the free slots with a one-hot K x K selection.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MB = 128  # centers per block (lane-aligned: block last dims must be 128)
+_NC = 8192  # support-point lanes per in-kernel chunk (VMEM budget)
+_SENTINEL = 1e17  # padded support points: d2 ~ 1e34, never a hit
+
+
+def _tri_incl(n, dtype):
+    """(n, n) ones matrix with L[j, i] = 1 iff j <= i: contracting the row
+    axis gives inclusive prefix sums along the lane axis."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r <= c).astype(dtype)
+
+
+def _first_k_in_chunk(hit, K):
+    """Lane positions of the first K hits within one chunk, scan order.
+
+    Args:
+        hit: (Mb, NC) bool, NC = C * 128.
+    Returns:
+        lpos (Mb, K) float32 position of the k-th hit (garbage when k >=
+        total), total (Mb, 1) float32 hit count.
+    """
+    Mb, NC = hit.shape
+    C = NC // _LANES
+    # cast BEFORE reshaping: Mosaic cannot shape-cast i1 vectors
+    hb = hit.astype(jnp.bfloat16)
+    h3 = hb.reshape(Mb * C, _LANES)
+    L = _tri_incl(_LANES, jnp.bfloat16)
+    # lane-local inclusive prefix: values <= 128, exact in bf16 -> f32
+    inner = jax.lax.dot_general(
+        h3, L, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(Mb, C, _LANES)
+    counts = jnp.sum(hb.astype(jnp.float32).reshape(Mb, C, _LANES), axis=-1)
+    # sub-chunk-level inclusive prefix (counts <= 128, exact in bf16)
+    Lc = _tri_incl(C, jnp.bfloat16)
+    incl = jax.lax.dot_general(
+        counts.astype(jnp.bfloat16), Lc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Mb, C)
+    start = incl - counts
+    total = incl[:, C - 1 : C]  # (Mb, 1)
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2).astype(jnp.float32) + 1.0  # 1..K
+    # sub-chunk holding the k-th hit = #sub-chunks with inclusive count < k
+    ck = jnp.sum(
+        (incl[:, :, None] < ks).astype(jnp.float32), axis=1
+    )  # (Mb, K) in [0, C]
+    ck = jnp.minimum(ck, float(C - 1))
+    cks = jax.lax.broadcasted_iota(jnp.int32, (Mb, K, C), 2).astype(jnp.float32)
+    onehot = (cks == ck[:, :, None]).astype(jnp.bfloat16)  # (Mb, K, C)
+    start_k = jnp.sum(onehot.astype(jnp.float32) * start[:, None, :], axis=2)
+    # boundary sub-chunk rows of the lane prefix, via batched one-hot matmul
+    rows = jax.lax.dot_general(
+        onehot, inner.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Mb, K, 128)
+    j_in = ks.reshape(1, K, 1) - start_k[:, :, None]  # 1-based in-chunk rank
+    pos_in = jnp.sum((rows < j_in).astype(jnp.float32), axis=2)  # (Mb, K)
+    lpos = ck * float(_LANES) + pos_in
+    return lpos, total
+
+
+def _emit(out_ref, sel, cnt):
+    """Apply CUDA padding semantics and write the final (Mb, K) block."""
+    Mb, K = sel.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (Mb, K), 1).astype(jnp.float32)
+    valid = slot < cnt
+    fill = jnp.where(cnt > 0.0, sel[:, 0:1], 0)
+    out_ref[0, :, :] = jnp.where(valid, sel, fill)
+
+
+def _bq_kernel(radii, nsamples, n_chunks, ctr_ref, sup_ref, *rest):
+    n_r = len(radii)
+    out_refs = rest[:n_r]
+    sel_refs = rest[n_r : 2 * n_r]
+    cnt_refs = rest[2 * n_r : 3 * n_r]
+    NC = sup_ref.shape[2]
+    nc_id = pl.program_id(2) if n_chunks > 1 else 0
+    base = (nc_id * NC).astype(jnp.float32) if n_chunks > 1 else 0.0
+
+    # centers: (1, Mb) lane rows -> (Mb, 1) columns
+    cxs = jnp.transpose(ctr_ref[0, 0:1, :])
+    cys = jnp.transpose(ctr_ref[0, 1:2, :])
+    czs = jnp.transpose(ctr_ref[0, 2:3, :])
+    xs = sup_ref[0, 0:1, :]  # (1, NC)
+    ys = sup_ref[0, 1:2, :]
+    zs = sup_ref[0, 2:3, :]
+    dx = cxs - xs
+    dy = cys - ys
+    dz = czs - zs
+    d2 = dx * dx + dy * dy + dz * dz  # (Mb, NC)
+
+    for i, (radius, K) in enumerate(zip(radii, nsamples)):
+        hit = d2 < (radius * radius)
+        lpos, total = _first_k_in_chunk(hit, K)
+        lpos = (lpos + base).astype(jnp.int32)
+        Mb = lpos.shape[0]
+
+        if n_chunks == 1:
+            _emit(out_refs[i], lpos, jnp.minimum(total, float(K)))
+            continue
+
+        @pl.when(nc_id == 0)
+        def _init(i=i, Mb=Mb, K=K):
+            cnt_refs[i][:, :] = jnp.zeros((Mb, 1), jnp.float32)
+            sel_refs[i][:, :] = jnp.zeros((Mb, K), jnp.int32)
+
+        cnt0 = cnt_refs[i][:, :]  # (Mb, 1) selected so far
+        sel0 = sel_refs[i][:, :]  # (Mb, K)
+        # shift local candidates into the free slots: slot s takes local
+        # hit (s - cnt0); garbage beyond the new count is masked at emit
+        ss = jax.lax.broadcasted_iota(jnp.int32, (Mb, K, K), 1).astype(jnp.float32)  # slot s
+        kk = jax.lax.broadcasted_iota(jnp.int32, (Mb, K, K), 2).astype(jnp.float32)  # local k
+        take = (kk == ss - cnt0[:, :, None]).astype(jnp.float32)
+        shifted = jnp.sum(
+            take * lpos[:, None, :].astype(jnp.float32), axis=2
+        ).astype(jnp.int32)  # (Mb, K)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (Mb, K), 1).astype(jnp.float32)
+        sel = jnp.where(slot < cnt0, sel0, shifted)
+        cnt = jnp.minimum(cnt0 + total, float(K))
+        cnt_refs[i][:, :] = cnt
+        sel_refs[i][:, :] = sel
+
+        @pl.when(nc_id == n_chunks - 1)
+        def _final(i=i, sel=sel, cnt=cnt):
+            _emit(out_refs[i], sel, cnt)
+
+
+def _pad_to(x, axis, mult, value):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("radii", "nsamples", "interpret", "nc"))
+def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
+                            nc=_NC):
+    """Multi-radius first-K ball query (TPU kernel).
+
+    Args:
+        radii / nsamples: tuples (shared distance field).
+        xyz: (B, N, 3) support; new_xyz: (B, M, 3) centers.
+    Returns:
+        tuple of (B, M, nsample_i) int32, CUDA padding semantics.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    sup = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    sup = _pad_to(sup, 2, nc if N > nc else _LANES, _SENTINEL)
+    Np = sup.shape[2]
+    NC = min(Np, nc)
+    n_chunks = Np // NC
+
+    ctr = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
+    ctr = _pad_to(ctr, 2, _MB, 0.0)
+    Mp = ctr.shape[2]
+
+    grid = (B, Mp // _MB, n_chunks)
+    outs = pl.pallas_call(
+        partial(_bq_kernel, radii, nsamples, n_chunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, _MB), lambda b, m, n: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, NC), lambda b, m, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, _MB, K), lambda b, m, n: (b, m, 0),
+                         memory_space=pltpu.VMEM)
+            for K in nsamples
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, Mp, K), jnp.int32) for K in nsamples
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((_MB, K), jnp.int32) for K in nsamples]
+            + [pltpu.VMEM((_MB, 1), jnp.float32) for _ in nsamples]
+        ),
+        interpret=interpret,
+    )(ctr, sup)
+    return tuple(o[:, :M, :] for o in outs)

@@ -70,6 +70,33 @@ class TestBallQuery:
         got = np.array(ops.ball_query_op(0.2, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
         assert (got == 5).all()
 
+    @pytest.mark.parametrize(
+        "B,N,M,radii,ks,nc",
+        [
+            (2, 512, 128, (0.5, 1.5), (8, 16), 16384),  # single chunk
+            (1, 700, 100, (0.8,), (16,), 16384),  # N lane-padded
+            (2, 1024, 96, (0.5, 1.5), (8, 16), 256),  # multi-chunk merge
+            (1, 2000, 130, (1.0,), (32,), 512),  # merge + M pad
+        ],
+    )
+    def test_pallas_kernel_interpret(self, B, N, M, radii, ks, nc):
+        """Pallas TPU kernel (interpret mode) is bit-identical to the XLA
+        formulation, incl. the cross-chunk merge path (small ``nc``)."""
+        from pdanet_tpu.ops.pallas.ball_query import ball_query_multi_pallas
+
+        rng = np.random.RandomState(B * N)
+        xyz = rng.randn(B, N, 3).astype(np.float32) * 2.0
+        new_xyz = xyz[:, :M]
+        ref = ops.ball_query.ball_query_multi(
+            radii, ks, jnp.asarray(xyz), jnp.asarray(new_xyz)
+        )
+        got = ball_query_multi_pallas(
+            radii, ks, jnp.asarray(xyz), jnp.asarray(new_xyz),
+            interpret=True, nc=nc,
+        )
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_dilated_matches_oracle(self):
         xyz = _cloud(B=2, N=96, seed=9)
         new_xyz = xyz[:, :16].copy()  # include exact self matches

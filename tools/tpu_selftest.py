@@ -93,6 +93,20 @@ def main():
     if not ok:
         failures.append("ball_query")
 
+    # Pallas ball query multi-chunk merge path (N > one in-kernel chunk)
+    xyz = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(9), (1, 9000, 3)) * 8
+    )
+    centers = xyz[:, :256]
+    got = np.asarray(
+        ops.ball_query_op(1.5, 32, jnp.asarray(xyz), jnp.asarray(centers))
+    )
+    want = ball_query_oracle(1.5, 32, xyz, centers)
+    ok = np.array_equal(got, want)
+    print(f"ball query (multi-chunk) vs oracle: {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        failures.append("ball_query_multichunk")
+
     if failures:
         raise SystemExit(f"TPU self-test FAILED: {failures}")
     print("TPU_SELFTEST_OK")
