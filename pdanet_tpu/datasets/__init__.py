@@ -37,10 +37,16 @@ def get_dataset_class(name):
 class SimpleLoader:
     """Minimal epoch loader: shards sample indices across processes
     (replaces torch DistributedSampler), shuffles per epoch with a seeded
-    RNG, and yields dense collated batches."""
+    RNG, and yields dense collated batches.
+
+    ``workers > 0`` prefetches samples on a thread pool (the reference uses
+    4 torch DataLoader workers, datasets/__init__.py:66-73): ``__getitem__``
+    is numpy-heavy (augmentor, gt-sampling, voxelizer) and numpy releases
+    the GIL, so threads overlap host preprocessing with the device step.
+    A sliding window of ~2 batches is kept in flight."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=0, rank=0, world=1,
-                 drop_last=None):
+                 drop_last=None, workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +54,7 @@ class SimpleLoader:
         self.rank = rank
         self.world = world
         self.epoch = 0
+        self.workers = workers
         self.drop_last = shuffle if drop_last is None else drop_last
 
     def set_epoch(self, epoch):
@@ -60,7 +67,7 @@ class SimpleLoader:
             return per_rank // self.batch_size
         return (per_rank + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _sample_plan(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -70,12 +77,39 @@ class SimpleLoader:
         per_rank = (n + self.world - 1) // self.world
         padded = np.concatenate([order, order[: per_rank * self.world - n]])
         my = padded[self.rank :: self.world]
+        chunks = []
         for start in range(0, len(my), self.batch_size):
             chunk = my[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            batch = [self.dataset[int(i)] for i in chunk]
-            yield self.dataset.collate_batch(batch)
+            chunks.append([int(i) for i in chunk])
+        return chunks
+
+    def __iter__(self):
+        chunks = self._sample_plan()
+        if self.workers <= 0:
+            for chunk in chunks:
+                yield self.dataset.collate_batch(
+                    [self.dataset[i] for i in chunk]
+                )
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        flat = [i for chunk in chunks for i in chunk]
+        window = max(2 * self.batch_size, self.workers)
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            futures = {}
+            cursor = 0
+            pos = 0
+            for chunk in chunks:
+                while cursor < len(flat) and cursor < pos + window:
+                    futures[cursor] = pool.submit(
+                        self.dataset.__getitem__, flat[cursor]
+                    )
+                    cursor += 1
+                batch = [futures.pop(pos + j).result() for j in range(len(chunk))]
+                pos += len(chunk)
+                yield self.dataset.collate_batch(batch)
 
 
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
@@ -95,6 +129,7 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
         dataset._merge_all_iters_to_one_epoch = True
         dataset.total_epochs = total_epochs
     loader = SimpleLoader(
-        dataset, batch_size, shuffle=training, seed=seed, rank=rank, world=world
+        dataset, batch_size, shuffle=training, seed=seed, rank=rank,
+        world=world, workers=workers,
     )
     return dataset, loader, loader

@@ -116,9 +116,24 @@ class DatasetTemplate:
         data_dict.pop("gt_names", None)
         return data_dict
 
+    def collate_batch(self, batch_list, _unused=False):
+        """Dense collate with a STATIC gt cap (one jit compile per config)."""
+        cap = None
+        if self.dataset_cfg is not None:
+            cap = self.dataset_cfg.get("MAX_GT_BOXES", None)
+        return self.collate_batch_static(batch_list, max_gt_cap=cap)
+
     @staticmethod
-    def collate_batch(batch_list, _unused=False):
-        """Dense collate: (B, N, C) points + (B, M_max, 8) padded gt."""
+    def collate_batch_static(batch_list, _unused=False, max_gt_cap=None):
+        """Dense collate: (B, N, C) points + (B, M, 8) padded gt.
+
+        ``max_gt_cap`` pins the gt axis to a per-config constant so the
+        jitted train step compiles ONCE across an epoch of varying gt
+        counts (the reference pads to the per-batch max,
+        dataset.py:214-219, which is fine for eager torch but retriggers
+        XLA compilation here).  Frames with more than ``max_gt_cap`` boxes
+        keep the first ``max_gt_cap`` (arbitrary-but-deterministic drop,
+        matching the db-sampler's own truncation style)."""
         data_dict = defaultdict(list)
         for cur_sample in batch_list:
             for key, val in cur_sample.items():
@@ -169,11 +184,14 @@ class DatasetTemplate:
             elif key == "gt_boxes":
                 max_gt = max([len(x) for x in val]) if val else 0
                 max_gt = max(max_gt, 1)
+                if max_gt_cap is not None:
+                    max_gt = int(max_gt_cap)
                 batch_gt = np.zeros(
                     (batch_size, max_gt, val[0].shape[-1]), dtype=np.float32
                 )
                 for k in range(batch_size):
-                    batch_gt[k, : val[k].__len__(), :] = val[k]
+                    m = min(len(val[k]), max_gt)
+                    batch_gt[k, :m, :] = val[k][:m]
                 ret[key] = batch_gt
             elif key in ["frame_id", "metadata", "calib", "image_shape"]:
                 ret[key] = val

@@ -474,6 +474,77 @@ def corner_layer_loss(forward_ret, loss_cfg):
     return loss, {"corner_loss_reg": loss}
 
 
+def iou3d_layer_loss(forward_ret, loss_cfg):
+    """IoU3D-quality regression (IASSD_head.py:1324-1340), config-gated by
+    ``IOU_FC`` (absent in both shipped configs).
+
+    Targets are the actual IoU3D between the (detached) decoded boxes and
+    each fg point's gt box; smooth-L1 against the iou head output, meaned
+    over fg points (torch F.smooth_l1_loss 'mean' over the pos gather)."""
+    from ...ops.rotated_iou import paired_boxes_iou3d
+
+    pos = forward_ret["center_pos_mask"]
+    gt = forward_ret["center_gt_box_of_points"][..., 0:7]
+    pred = jax.lax.stop_gradient(forward_ret["point_box_preds"])
+    B, N = pos.shape
+    targets = paired_boxes_iou3d(
+        pred.reshape(B * N, 7), gt.reshape(B * N, 7)
+    ).reshape(B, N)
+    targets = jax.lax.stop_gradient(targets)
+    preds = forward_ret["box_iou3d_preds"][..., 0]
+    m = pos.astype(jnp.float32)
+    per = loss_utils.smooth_l1(preds - targets, beta=1.0)
+    loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    loss = loss * forward_ret.get(
+        "iou3d_weight", loss_cfg.LOSS_WEIGHTS.get("iou3d_weight", 1.0)
+    )
+    return loss, {"iou3d_loss_reg": loss}
+
+
+def cd_loss_metric(forward_ret, loss_cfg):
+    """The reference's ``CD_loss`` tb scalar (IASSD_head.py:700-731 +
+    gauss_fun_once_topk_GT_add_same_size :943-1034): for every SA layer
+    whose own sampling method is ctr-aware, the L1 chamfer distance between
+    that layer's coordinates and a same-size reference set built from the
+    previous layer — its points ordered by Gaussian centerness (all
+    foreground first), topped up with the background points nearest to the
+    foreground gt centers.  Logged every step, weighted OUT of the total
+    (:730) — behavior preserved.
+
+    Fixed-shape form: the reference's python topk + concat becomes one
+    composite-key ``top_k`` (fg keyed above any bg; bg keyed by -dist2);
+    chamfer is order-invariant, so set equality gives the same value."""
+    method_list = loss_cfg.SAMPLE_METHOD_LIST
+    coords = forward_ret["encoder_coords"]
+    masks = forward_ret["sa_pos_masks"]
+    gts = forward_ret["sa_gt_box_of_points"]
+    from ...ops.chamfer import cd_loss_l1
+
+    cds = []
+    for i in range(1, len(masks)):
+        if not (method_list[i] and "ctr" in method_list[i][0]):
+            continue
+        prev_xyz = coords[i]  # list index i-1 <-> ref sa_xyz_coords[i-1]
+        cur_xyz = coords[i + 1]
+        hm = gauss_centerness_mask(prev_xyz, masks[i - 1], gts[i - 1])
+        ctrs = gts[i - 1][..., 0:3]
+        # bg ranking: min dist2 to any fg point's gt center
+        dx = prev_xyz[:, :, 0:1] - ctrs[:, None, :, 0]
+        dy = prev_xyz[:, :, 1:2] - ctrs[:, None, :, 1]
+        dz = prev_xyz[:, :, 2:3] - ctrs[:, None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz  # (B, Np, Np)
+        d2 = jnp.where(masks[i - 1][:, None, :], d2, jnp.inf)
+        d2min = jnp.min(d2, axis=-1)  # (B, Np)
+        d2min = jnp.where(jnp.isfinite(d2min), d2min, 1e9)
+        key = jnp.where(hm > 0, 1e6 + hm, -d2min)
+        _, idx = jax.lax.top_k(key, cur_xyz.shape[1])
+        sel = jnp.take_along_axis(prev_xyz, idx[..., None], axis=1)
+        cds.append(cd_loss_l1(cur_xyz, jax.lax.stop_gradient(sel)))
+    if not cds:
+        return None
+    return jax.lax.stop_gradient(sum(cds) / len(cds))
+
+
 def get_loss(forward_ret, model_cfg, box_coder, num_class, num_boxes):
     """Total head loss (IASSD_head.py:470-521)."""
     loss_cfg = model_cfg.LOSS_CONFIG
@@ -501,6 +572,10 @@ def get_loss(forward_ret, model_cfg, box_coder, num_class, num_boxes):
     if loss_cfg.get("LOSS_INS", None) is not None:
         sa_loss, tb_sa = sa_ins_layer_loss(forward_ret, loss_cfg, num_class)
         tb.update(tb_sa)
+        if "sa_pos_masks" in forward_ret and loss_cfg.get("LOG_CD_METRIC", True):
+            cd = cd_loss_metric(forward_ret, loss_cfg)
+            if cd is not None:
+                tb["CD_loss"] = cd  # logged, excluded (IASSD_head.py:727,730)
     else:
         sa_loss = 0.0
 
@@ -515,7 +590,14 @@ def get_loss(forward_ret, model_cfg, box_coder, num_class, num_boxes):
         corner_loss, tb_c = corner_layer_loss(forward_ret, loss_cfg)
         tb.update(tb_c)
 
-    total = vote_loss + sa_loss + cls_loss + box_loss + corner_loss
+    iou3d_loss = 0.0
+    if model_cfg.get("IOU_FC", None) is not None and forward_ret.get(
+        "box_iou3d_preds"
+    ) is not None:
+        iou3d_loss, tb_iou = iou3d_layer_loss(forward_ret, loss_cfg)
+        tb.update(tb_iou)
+
+    total = vote_loss + sa_loss + cls_loss + box_loss + corner_loss + iou3d_loss
     tb["point_loss"] = total
     return total, tb
 

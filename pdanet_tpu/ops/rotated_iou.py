@@ -227,3 +227,13 @@ def boxes_iou3d(boxes_a, boxes_b):
     vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
     vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
     return overlaps_3d / jnp.clip(vol_a + vol_b - overlaps_3d, min=1e-6)
+
+
+def paired_boxes_iou3d(boxes_a, boxes_b):
+    """Row-aligned 3-D IoU: (N, 7) x (N, 7) -> (N,).
+
+    The reference exposes this as ``loss_utils.generate_iou3d`` (paired
+    boxes_iou3d over matched rows) for the IoU3D head loss; a vmapped 1x1
+    pairwise call keeps one geometry implementation."""
+    f = jax.vmap(lambda a, b: boxes_iou3d(a[None, :], b[None, :])[0, 0])
+    return f(boxes_a, boxes_b)

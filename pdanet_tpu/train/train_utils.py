@@ -194,19 +194,22 @@ def train_model(
             data_time = time.time() - end
             dev_batch = shard_batch(mesh, select_device_batch(batch))
             state, loss, tb = train_step(state, dev_batch)
-            loss = float(loss)
+            # do NOT materialize loss every step — float(loss) blocks the
+            # host on the device and serializes input prep with compute;
+            # convert only on logging iterations
             accumulated_iter += 1
             batch_time = time.time() - end
             end = time.time()
-            if logger is not None and accumulated_iter % 50 == 0:
+            log_iter = accumulated_iter % 50 == 0
+            if logger is not None and log_iter:
                 cur_lr = float(lr_fn(accumulated_iter)) if lr_fn else float("nan")
                 logger.info(
                     "epoch %d iter %d loss %.4f lr %.6f data %.3fs iter %.3fs"
-                    % (cur_epoch, accumulated_iter, loss, cur_lr, data_time,
-                       batch_time)
+                    % (cur_epoch, accumulated_iter, float(loss), cur_lr,
+                       data_time, batch_time)
                 )
-            if tb_log is not None:
-                tb_log.add_scalar("train/loss", loss, accumulated_iter)
+            if tb_log is not None and (log_iter or tb_log.every_iter):
+                tb_log.add_scalar("train/loss", float(loss), accumulated_iter)
                 for k, v in tb.items():
                     tb_log.add_scalar(f"train/{k}", float(v), accumulated_iter)
 

@@ -78,31 +78,47 @@ def set_random_seed(seed):
     np.random.seed(seed)
 
 
-def merge_results_dist(result_part, size, tmpdir):
-    """Multi-process eval merge via pickle files on a shared FS
-    (common_utils.py:201-222).  Kept host-side for robustness; JAX
-    process_allgather is used on-device instead where possible."""
-    import jax
+def interleave_parts(part_list, size):
+    """Restore dataset order from stride-sharded per-rank result lists
+    (rank r holds samples r, r+world, r+2*world, ...) — the inverse of
+    SimpleLoader's pad+stride shard and of the reference's eval
+    DistributedSampler (datasets/__init__.py:24-44).  Trailing pad
+    duplicates are dropped by the ``size`` cut."""
+    ordered = []
+    for res in zip(*part_list):
+        ordered.extend(list(res))
+    return ordered[:size]
 
-    rank = jax.process_index()
-    world = jax.process_count()
+
+def merge_results_dist(result_part, size, tmpdir, rank=None, world=None,
+                       barrier=None):
+    """Multi-process eval merge via pickle files on a shared FS
+    (common_utils.py:201-222).  Kept host-side for robustness (prediction
+    dicts are ragged python objects; a device all-gather would need
+    padding contracts).  ``rank``/``world``/``barrier`` default to the JAX
+    runtime and exist so tests can simulate a multi-process merge."""
+    if rank is None or world is None:
+        import jax
+
+        rank = jax.process_index()
+        world = jax.process_count()
+    if barrier is None:
+        def barrier():
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("merge_results")
+
     os.makedirs(tmpdir, exist_ok=True)
     with open(os.path.join(tmpdir, f"result_part_{rank}.pkl"), "wb") as f:
         pickle.dump(result_part, f)
-    # barrier via jax collective
     if world > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("merge_results")
+        barrier()
     if rank != 0:
         return None
     part_list = []
     for i in range(world):
         with open(os.path.join(tmpdir, f"result_part_{i}.pkl"), "rb") as f:
             part_list.append(pickle.load(f))
-    ordered = []
-    for res in zip(*part_list):
-        ordered.extend(list(res))
-    ordered = ordered[:size]
+    ordered = interleave_parts(part_list, size)
     shutil.rmtree(tmpdir)
     return ordered

@@ -11,7 +11,12 @@ from pathlib import Path
 
 
 class MetricsLogger:
-    def __init__(self, log_dir):
+    #: when False the train loop only flushes scalars on its (sparse)
+    #: logging iterations, avoiding a host-device sync every step
+    every_iter = True
+
+    def __init__(self, log_dir, every_iter=True):
+        self.every_iter = every_iter
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._f = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
