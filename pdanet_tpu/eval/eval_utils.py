@@ -53,10 +53,19 @@ def eval_one_epoch(
         out = model.apply(
             variables, dev_batch, train=False, method=model.forward_batch
         )
-        pred = post_processing(
-            out["batch_cls_preds"], out["batch_box_preds"],
-            cfg.MODEL.POST_PROCESSING,
-        )
+        if "batch_score_preds" in out:
+            # decode-style detectors (CenterPoint): candidates carry
+            # scores/labels/validity; only the final rotated NMS remains
+            from ..models.detectors.centerpoint import (
+                post_processing as decode_post,
+            )
+
+            pred = decode_post(out, cfg.MODEL.DENSE_HEAD.POST_PROCESSING)
+        else:
+            pred = post_processing(
+                out["batch_cls_preds"], out["batch_box_preds"],
+                cfg.MODEL.POST_PROCESSING,
+            )
         return pred
 
     @jax.jit

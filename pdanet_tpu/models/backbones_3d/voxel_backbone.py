@@ -91,3 +91,64 @@ class VoxelBackBone8x(nn.Module):
         # height compression: (B, Z', Y', X', C) -> (B, Y', X', Z'*C)
         B, Z, Y, X, C = x.shape
         return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
+
+
+class ResBlock3D(nn.Module):
+    """Dense analogue of ``SparseBasicBlock`` (spconv_backbone.py:~1-60 in
+    the reference's partA2 sibling): conv-bn-relu-conv-bn + identity,
+    post-add ReLU."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+                    use_bias=False, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+                    use_bias=False, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, name="bn2")(h)
+        return nn.relu(x + h)
+
+
+class VoxelResBackBone8x(nn.Module):
+    """Dense analogue of ``VoxelResBackBone8x`` (spconv_backbone.py:183-293):
+    conv_input(16) -> 2xres(16) -> down(32)+2xres -> down(64)+2xres ->
+    down(128)+2xres -> z-compressing conv_out(128).
+
+    Returns (bev, multi_scale) where bev is the height-compressed
+    ``(B, Y/8, X/8, Z_out*128)`` map and multi_scale is the
+    ``multi_scale_3d_features`` dict (x_conv1..x_conv4 dense tensors,
+    strides 1/2/4/8) consumed by VoxelSetAbstraction / UNet decoders.
+    """
+
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any  # (nx, ny, nz)
+
+    @nn.compact
+    def __call__(self, voxel_features, voxel_coords, train=False):
+        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        x = Conv3DBNReLU(16, name="conv_input")(x, train)
+        x1 = ResBlock3D(16, name="res1_b")(
+            ResBlock3D(16, name="res1_a")(x, train), train)
+        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(x1, train)
+        x2 = ResBlock3D(32, name="res2_b")(
+            ResBlock3D(32, name="res2_a")(x, train), train)
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(x2, train)
+        x3 = ResBlock3D(64, name="res3_b")(
+            ResBlock3D(64, name="res3_a")(x, train), train)
+        x = Conv3DBNReLU(128, stride=(2, 2, 2), name="conv4_down")(x3, train)
+        x4 = ResBlock3D(128, name="res4_b")(
+            ResBlock3D(128, name="res4_a")(x, train), train)
+        out = Conv3DBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                           name="conv_out")(x4, train)
+        B, Z, Y, X, C = out.shape
+        bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
+        multi_scale = {
+            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+        }
+        return bev, multi_scale

@@ -1,14 +1,19 @@
 """Detector registry (pcdet/models/detectors/__init__.py:30-37)."""
 
+from .centerpoint import CenterPoint
 from .iassd import IASSD
 from .pointpillar import PointPillar
 from .second import SECOND
 
 __all__ = {
+    "CenterPoint": CenterPoint,
     "IASSD": IASSD,
     "PointPillar": PointPillar,
     "SECOND": SECOND,
 }
+
+#: voxel-pipeline detectors that take grid geometry from the dataset
+VOXEL_DETECTORS = ("PointPillar", "SECOND", "CenterPoint")
 
 
 def build_detector(model_cfg, num_class, input_channels=4, **kwargs):
@@ -25,7 +30,7 @@ def build_network(model_cfg, num_class, dataset=None, input_channels=4,
     geometry/class names are derived from it."""
     if dataset is not None:
         input_channels = dataset.point_feature_encoder.num_point_features
-        if model_cfg.NAME in ("PointPillar", "SECOND"):
+        if model_cfg.NAME in VOXEL_DETECTORS:
             kwargs.setdefault(
                 "grid_size", tuple(int(x) for x in dataset.grid_size)
             )

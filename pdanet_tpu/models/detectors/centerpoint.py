@@ -1,0 +1,165 @@
+"""CenterPoint detector — counterpart of
+``pcdet/models/detectors/centerpoint.py`` (:1-50) over MeanVFE ->
+VoxelResBackBone8x (dense, height compression folded) -> BaseBEVBackbone ->
+CenterHead.
+
+The reference's ragged per-frame decode + NMS becomes the repo-standard
+fixed-shape batched post-processing (top-K candidates + validity mask ->
+``batched_nms_candidates``); loss = CenterHead focal heatmap + gathered L1
+(center_head.py:236-263).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.easydict import EasyDict
+from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
+from ..backbones_3d.vfe.mean_vfe import MeanVFE
+from ..backbones_3d.voxel_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..dense_heads import center_head as CH
+from ..model_utils.model_nms_utils import batched_nms_candidates
+
+
+class CenterPoint(nn.Module):
+    model_cfg: Any
+    num_class: int
+    input_channels: int = 4
+    grid_size: Any = None  # (nx, ny, nz)
+    voxel_size: Any = None
+    point_cloud_range: Any = None
+    class_names: Any = None
+
+    def setup(self):
+        cfg = EasyDict(self.model_cfg)
+        object.__setattr__(self, "cfg", cfg)
+        self.vfe = MeanVFE(
+            model_cfg=cfg.get("VFE", {}),
+            num_point_features=self.input_channels,
+            name="vfe",
+        )
+        b3d = cfg.get("BACKBONE_3D", {})
+        b3d_cls = (
+            VoxelResBackBone8x
+            if b3d.get("NAME", "VoxelResBackBone8x") == "VoxelResBackBone8x"
+            else VoxelBackBone8x
+        )
+        self.backbone_3d = b3d_cls(
+            model_cfg=b3d,
+            input_channels=self.input_channels,
+            grid_size=self.grid_size,
+            name="backbone_3d",
+        )
+        self.backbone_2d = BaseBEVBackbone(
+            model_cfg=cfg.BACKBONE_2D,
+            input_channels=cfg.MAP_TO_BEV.NUM_BEV_FEATURES,
+            name="backbone_2d",
+        )
+        head_cfg = cfg.DENSE_HEAD
+        names = list(self.class_names)
+        groups = [
+            [c for c in group if c in names]
+            for group in head_cfg.CLASS_NAMES_EACH_HEAD
+        ]
+        object.__setattr__(
+            self, "class_ids_each_head",
+            [[names.index(c) + 1 for c in g] for g in groups],  # 1-based
+        )
+        object.__setattr__(
+            self, "class_id_mapping_each_head",
+            [[names.index(c) for c in g] for g in groups],  # 0-based map
+        )
+        self.dense_head = CH.CenterHeadNet(
+            model_cfg=head_cfg,
+            num_class_each_head=tuple(len(g) for g in groups),
+            head_order=tuple(head_cfg.SEPARATE_HEAD_CFG.HEAD_ORDER),
+            head_dict=dict(head_cfg.SEPARATE_HEAD_CFG.HEAD_DICT),
+            name="dense_head",
+        )
+
+    def _feature_map_stride(self):
+        return int(
+            self.cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.get(
+                "FEATURE_MAP_STRIDE", 4
+            )
+        )
+
+    def __call__(self, voxels, voxel_coords, voxel_num_points, train=False):
+        voxel_features = self.vfe(voxels, voxel_num_points, train=train)
+        spatial = self.backbone_3d(voxel_features, voxel_coords, train=train)
+        if isinstance(spatial, tuple):
+            spatial = spatial[0]
+        spatial_2d = self.backbone_2d(spatial, train=train)
+        pred_dicts = self.dense_head(spatial_2d, train=train)
+
+        head_cfg = self.cfg.DENSE_HEAD
+        boxes, scores, labels, valid = CH.generate_predicted_boxes(
+            pred_dicts,
+            self.class_id_mapping_each_head,
+            head_cfg.POST_PROCESSING,
+            np.asarray(self.point_cloud_range, np.float32),
+            np.asarray(self.voxel_size, np.float32),
+            self._feature_map_stride(),
+            tuple(head_cfg.SEPARATE_HEAD_CFG.HEAD_ORDER),
+        )
+        return {
+            "pred_dicts": pred_dicts,
+            "batch_box_preds": boxes,
+            "batch_score_preds": scores,
+            "batch_label_preds": labels,
+            "batch_valid_preds": valid,
+            "feature_map_size": pred_dicts[0]["hm"].shape[1:3],  # (H, W)
+        }
+
+    def loss(self, forward_out, gt_boxes):
+        head_cfg = self.cfg.DENSE_HEAD
+        ta = head_cfg.TARGET_ASSIGNER_CONFIG
+        H, W = forward_out["feature_map_size"]
+        target_dicts = [
+            CH.assign_targets_single_head(
+                gt_boxes,
+                ids,
+                feature_map_size=(W, H),
+                feature_map_stride=self._feature_map_stride(),
+                point_cloud_range=np.asarray(self.point_cloud_range),
+                voxel_size=np.asarray(self.voxel_size),
+                gaussian_overlap=float(ta.GAUSSIAN_OVERLAP),
+                min_radius=int(ta.MIN_RADIUS),
+            )
+            for ids in self.class_ids_each_head
+        ]
+        # head-local class re-index for the heatmap targets is already
+        # handled inside assign_targets_single_head (local id ordering)
+        return CH.center_head_loss(
+            forward_out["pred_dicts"],
+            target_dicts,
+            tuple(head_cfg.SEPARATE_HEAD_CFG.HEAD_ORDER),
+            dict(head_cfg.LOSS_CONFIG.LOSS_WEIGHTS),
+        )
+
+    # --- detector-agnostic batch interface (train/eval runtimes) ---
+
+    def forward_batch(self, batch, train=False):
+        out = self(
+            batch["voxels"], batch["voxel_coords"], batch["voxel_num_points"],
+            train=train,
+        )
+        return out
+
+    def loss_batch(self, forward_out, batch):
+        return self.loss(forward_out, batch["gt_boxes"])
+
+
+def post_processing(forward_out, post_cfg):
+    """Final rotated NMS over the decoded candidates
+    (center_head.py:294-303 NMS branch), batched fixed-shape."""
+    head_nms = EasyDict(post_cfg).NMS_CONFIG
+    return batched_nms_candidates(
+        forward_out["batch_box_preds"],
+        forward_out["batch_score_preds"],
+        forward_out["batch_label_preds"],
+        forward_out["batch_valid_preds"],
+        head_nms,
+    )

@@ -2,11 +2,17 @@
 
 ``class_agnostic_nms``: score threshold -> topk(NMS_PRE_MAXSIZE) -> rotated
 greedy NMS -> first NMS_POST_MAXSIZE survivors, fixed-size outputs.
+
+``batched_nms_candidates``: the batched fixed-shape form every detector's
+post-processing uses — takes per-frame candidate (boxes, scores, labels,
+valid) and returns (B, POST) compacted outputs + counts.
 """
 
+import jax
 import jax.numpy as jnp
 
-from ...ops.nms import nms_rotated
+from ...ops.nms import greedy_nms_mask_batched, nms_rotated
+from ...ops.rotated_iou import boxes_iou_bev
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
@@ -27,3 +33,50 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
         post_maxsize=int(nms_config.NMS_POST_MAXSIZE),
         score_thresh=score_thresh,
     )
+
+
+def batched_nms_candidates(boxes, scores, labels, valid, nms_cfg,
+                           score_thresh=None):
+    """Batched class-agnostic rotated NMS over fixed-size candidates.
+
+    Args:
+        boxes: (B, N, 7+); scores: (B, N); labels: (B, N) int;
+        valid: (B, N) bool (pre-filters, e.g. decode range mask).
+    Returns dict:
+        pred_boxes (B, POST, 7+), pred_scores, pred_labels, pred_counts.
+    """
+    N = boxes.shape[1]
+    pre = min(int(nms_cfg.NMS_PRE_MAXSIZE), N)
+    post = min(int(nms_cfg.NMS_POST_MAXSIZE), pre)
+
+    def prep(scores_f, boxes_f, valid_f):
+        ok = valid_f & jnp.isfinite(scores_f)
+        if score_thresh is not None:
+            ok &= scores_f >= score_thresh
+        masked = jnp.where(ok, scores_f, -jnp.inf)
+        order = jnp.argsort(-masked, stable=True)[:pre]
+        iou = boxes_iou_bev(boxes_f[order][:, :7], boxes_f[order][:, :7])
+        return order.astype(jnp.int32), ok[order], iou
+
+    order, cand_valid, iou = jax.vmap(prep)(scores, boxes, valid)
+    keep = greedy_nms_mask_batched(iou, cand_valid, float(nms_cfg.NMS_THRESH))
+
+    def compact(keep_f, order_f, scores_f, boxes_f, labels_f):
+        rank = jnp.cumsum(keep_f) - 1
+        sel = jnp.full((post,), -1, dtype=jnp.int32)
+        src = jnp.where(keep_f & (rank < post), rank, post)
+        sel = sel.at[src].set(order_f, mode="drop")
+        count = jnp.minimum(jnp.sum(keep_f), post).astype(jnp.int32)
+        safe = jnp.maximum(sel, 0)
+        out_boxes = jnp.where((sel >= 0)[:, None], boxes_f[safe], 0.0)
+        out_scores = jnp.where(sel >= 0, scores_f[safe], 0.0)
+        out_labels = jnp.where(sel >= 0, labels_f[safe], 0)
+        return out_boxes, out_scores, out_labels, count
+
+    b, s, l, c = jax.vmap(compact)(keep, order, scores, boxes, labels)
+    return {
+        "pred_boxes": b,
+        "pred_scores": s,
+        "pred_labels": l,
+        "pred_counts": c,
+    }

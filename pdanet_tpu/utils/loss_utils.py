@@ -112,3 +112,43 @@ def get_corner_loss_lidar(pred_boxes, gt_boxes):
         jnp.linalg.norm(pred_corners - gt_corners_flip, axis=2),
     )
     return jnp.mean(smooth_l1(dist, beta=1.0), axis=1)
+
+
+def focal_loss_centernet(pred, gt):
+    """CornerNet-style modified focal loss over dense heatmaps
+    (``neg_loss_cornernet``, loss_utils.py:395-430).  ``pred`` must already
+    be sigmoided and clamped; any layout (the reduction is global).
+
+    The num_pos == 0 branch (only the negative term, unnormalized) is
+    reproduced with a jnp.where instead of python control flow.
+    """
+    pos_inds = (gt == 1.0).astype(jnp.float32)
+    neg_inds = (gt < 1.0).astype(jnp.float32)
+    neg_weights = jnp.power(1.0 - gt, 4)
+
+    pos_loss = jnp.log(pred) * jnp.square(1.0 - pred) * pos_inds
+    neg_loss = jnp.log(1.0 - pred) * jnp.square(pred) * neg_weights * neg_inds
+    num_pos = jnp.sum(pos_inds)
+    pos_sum = jnp.sum(pos_loss)
+    neg_sum = jnp.sum(neg_loss)
+    return jnp.where(
+        num_pos == 0, -neg_sum, -(pos_sum + neg_sum) / jnp.maximum(num_pos, 1.0)
+    )
+
+
+def reg_loss_centernet(pred, mask, target):
+    """Per-dim L1 over gathered object slots (``_reg_loss``,
+    loss_utils.py:445-474): sum |pred - gt| over (batch, objects) per dim,
+    normalized by the total positive count.
+
+    Args:
+        pred / target: (B, M, D); mask: (B, M).
+    Returns:
+        (D,) per-dim loss (the caller applies code_weights and sums).
+    """
+    num = jnp.sum(mask.astype(jnp.float32))
+    m = mask.astype(jnp.float32)[..., None] * jnp.isfinite(target).astype(
+        jnp.float32
+    )
+    diff = jnp.abs(pred * m - jnp.where(m > 0, target, 0.0) * m)
+    return jnp.sum(diff, axis=(0, 1)) / jnp.maximum(num, 1.0)

@@ -334,3 +334,140 @@ def test_pointpillar_cli(cli_env, tmp_path):
     assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
     results = list((workdir / "output").rglob("result.pkl"))
     assert results, "no result.pkl produced"
+
+
+CP_TINY_CFG = """CLASS_NAMES: ['Car', 'Pedestrian', 'Cyclist']
+
+DATA_CONFIG:
+    DATASET: 'KittiDataset'
+    DATA_PATH: '{data_path}'
+    POINT_CLOUD_RANGE: [0, -12.8, -3, 25.6, 12.8, 1]
+    MAX_GT_BOXES: 16
+    DATA_SPLIT: {{'train': train, 'test': val}}
+    INFO_PATH: {{'train': [kitti_infos_train.pkl], 'test': [kitti_infos_val.pkl]}}
+    GET_ITEM_LIST: ["points"]
+    FOV_POINTS_ONLY: False
+    DATA_AUGMENTOR:
+        DISABLE_AUG_LIST: ['placeholder']
+        AUG_CONFIG_LIST:
+            - NAME: random_world_flip
+              ALONG_AXIS_LIST: ['x']
+    POINT_FEATURE_ENCODING: {{
+        encoding_type: absolute_coordinates_encoding,
+        used_feature_list: ['x', 'y', 'z', 'intensity'],
+        src_feature_list: ['x', 'y', 'z', 'intensity'],
+    }}
+    DATA_PROCESSOR:
+        - NAME: mask_points_and_boxes_outside_range
+          REMOVE_OUTSIDE_BOXES: True
+        - NAME: shuffle_points
+          SHUFFLE_ENABLED: {{'train': True, 'test': False}}
+        - NAME: transform_points_to_voxels
+          VOXEL_SIZE: [0.4, 0.4, 0.5]
+          MAX_POINTS_PER_VOXEL: 8
+          MAX_NUMBER_OF_VOXELS: {{'train': 2048, 'test': 2048}}
+
+MODEL:
+    NAME: CenterPoint
+    VFE:
+        NAME: MeanVFE
+    BACKBONE_3D:
+        NAME: VoxelResBackBone8x
+    MAP_TO_BEV:
+        NAME: HeightCompression
+        NUM_BEV_FEATURES: 128
+    BACKBONE_2D:
+        NAME: BaseBEVBackbone
+        LAYER_NUMS: [2]
+        LAYER_STRIDES: [1]
+        NUM_FILTERS: [16]
+        UPSAMPLE_STRIDES: [2]
+        NUM_UPSAMPLE_FILTERS: [16]
+    DENSE_HEAD:
+        NAME: CenterHead
+        CLASS_AGNOSTIC: False
+        CLASS_NAMES_EACH_HEAD: [['Car', 'Pedestrian', 'Cyclist']]
+        SHARED_CONV_CHANNEL: 16
+        USE_BIAS_BEFORE_NORM: True
+        NUM_HM_CONV: 2
+        SEPARATE_HEAD_CFG:
+            HEAD_ORDER: ['center', 'center_z', 'dim', 'rot']
+            HEAD_DICT: {{
+                'center': {{'out_channels': 2, 'num_conv': 2}},
+                'center_z': {{'out_channels': 1, 'num_conv': 2}},
+                'dim': {{'out_channels': 3, 'num_conv': 2}},
+                'rot': {{'out_channels': 2, 'num_conv': 2}},
+            }}
+        TARGET_ASSIGNER_CONFIG:
+            FEATURE_MAP_STRIDE: 4
+            NUM_MAX_OBJS: 500
+            GAUSSIAN_OVERLAP: 0.1
+            MIN_RADIUS: 2
+        LOSS_CONFIG:
+            LOSS_WEIGHTS: {{'cls_weight': 1.0, 'loc_weight': 2.0,
+                            'code_weights': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]}}
+        POST_PROCESSING:
+            SCORE_THRESH: 0.1
+            POST_CENTER_LIMIT_RANGE: [-75.2, -75.2, -2, 75.2, 75.2, 4]
+            MAX_OBJ_PER_SAMPLE: 64
+            NMS_CONFIG:
+                NMS_TYPE: nms_gpu
+                NMS_THRESH: 0.7
+                NMS_PRE_MAXSIZE: 64
+                NMS_POST_MAXSIZE: 32
+    POST_PROCESSING:
+        RECALL_THRESH_LIST: [0.3, 0.5, 0.7]
+        SCORE_THRESH: 0.1
+        OUTPUT_RAW_SCORE: False
+        EVAL_METRIC: kitti
+        NMS_CONFIG:
+            MULTI_CLASSES_NMS: False
+            NMS_TYPE: nms_gpu
+            NMS_THRESH: 0.01
+            NMS_PRE_MAXSIZE: 256
+            NMS_POST_MAXSIZE: 32
+
+OPTIMIZATION:
+    BATCH_SIZE_PER_GPU: 2
+    NUM_EPOCHS: 1
+    OPTIMIZER: adam_onecycle
+    LR: 0.003
+    WEIGHT_DECAY: 0.01
+    MOMENTUM: 0.9
+    MOMS: [0.95, 0.85]
+    PCT_START: 0.4
+    DIV_FACTOR: 10
+    DECAY_STEP_LIST: [35, 45]
+    LR_DECAY: 0.1
+    LR_CLIP: 0.0000001
+    LR_WARMUP: False
+    WARMUP_EPOCH: 1
+    GRAD_NORM_CLIP: 10
+"""
+
+
+def test_centerpoint_cli(cli_env, tmp_path):
+    """CenterPoint (decode-style head) through the same CLIs."""
+    root, _, env = cli_env
+    cfg_file = root / "cfgs" / "kitti_models" / "centerpoint-tiny.yaml"
+    cfg_file.write_text(CP_TINY_CFG.format(data_path=root))
+    workdir = tmp_path / "cp_run"
+    workdir.mkdir()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/train.py"), "--cfg_file", str(cfg_file),
+         "--extra_tag", "cp_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert ckpts, "no checkpoint produced"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file", str(cfg_file),
+         "--ckpt", str(ckpts[0]), "--extra_tag", "cp_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl produced"
