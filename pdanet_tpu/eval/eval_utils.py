@@ -48,25 +48,16 @@ def eval_one_epoch(
 
     thresh_list = list(cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST)
 
+    from ..models.detectors import get_post_processor
+
+    post_fn = get_post_processor(cfg.MODEL.NAME)
+
     @jax.jit
     def forward(variables, dev_batch):
         out = model.apply(
             variables, dev_batch, train=False, method=model.forward_batch
         )
-        if "batch_score_preds" in out:
-            # decode-style detectors (CenterPoint): candidates carry
-            # scores/labels/validity; only the final rotated NMS remains
-            from ..models.detectors.centerpoint import (
-                post_processing as decode_post,
-            )
-
-            pred = decode_post(out, cfg.MODEL.DENSE_HEAD.POST_PROCESSING)
-        else:
-            pred = post_processing(
-                out["batch_cls_preds"], out["batch_box_preds"],
-                cfg.MODEL.POST_PROCESSING,
-            )
-        return pred
+        return post_fn(out, cfg.MODEL)
 
     @jax.jit
     def forward_with_recall(variables, dev_batch, gt_boxes):

@@ -4,16 +4,37 @@ from .centerpoint import CenterPoint
 from .iassd import IASSD
 from .pointpillar import PointPillar
 from .second import SECOND
+from .second_iou import SECONDNetIoU
 
 __all__ = {
     "CenterPoint": CenterPoint,
     "IASSD": IASSD,
     "PointPillar": PointPillar,
     "SECOND": SECOND,
+    "SECONDNetIoU": SECONDNetIoU,
 }
 
 #: voxel-pipeline detectors that take grid geometry from the dataset
-VOXEL_DETECTORS = ("PointPillar", "SECOND", "CenterPoint")
+VOXEL_DETECTORS = ("PointPillar", "SECOND", "CenterPoint", "SECONDNetIoU")
+
+
+def get_post_processor(name):
+    """Per-detector eval post-processing: fn(forward_out, model_cfg) ->
+    fixed-shape pred dict (pred_boxes/scores/labels/counts).  Default is
+    the sigmoid+argmax+NMS pipeline of detector3d_template.py:179-285."""
+    if name == "CenterPoint":
+        from .centerpoint import post_processing as cp_post
+
+        return lambda out, mcfg: cp_post(out, mcfg.DENSE_HEAD.POST_PROCESSING)
+    if name == "SECONDNetIoU":
+        from .second_iou import post_processing as iou_post
+
+        return iou_post
+    from .iassd import post_processing as default_post
+
+    return lambda out, mcfg: default_post(
+        out["batch_cls_preds"], out["batch_box_preds"], mcfg.POST_PROCESSING
+    )
 
 
 def build_detector(model_cfg, num_class, input_channels=4, **kwargs):

@@ -91,6 +91,7 @@ class SECOND(nn.Module):
             "dir_cls_preds": dir_preds,
             "batch_cls_preds": batch_cls,
             "batch_box_preds": batch_boxes,
+            "spatial_features_2d": spatial_2d,  # RoI stages pool from this
         }
 
     def loss(self, forward_out, gt_boxes, class_names):

@@ -63,6 +63,15 @@ def make_train_step(model, tx, model_cfg=None, num_class=None):
     """
 
     def train_step(state: TrainState, batch):
+        # per-step deterministic RNGs for stochastic train-time modules
+        # (two-stage proposal sampling, dropout); unused collections are
+        # harmless for detectors without them
+        base = jax.random.fold_in(jax.random.PRNGKey(0x5EED), state.step)
+        rngs = {
+            "proposal": jax.random.fold_in(base, 1),
+            "dropout": jax.random.fold_in(base, 2),
+        }
+
         def loss_fn(params):
             def fwd_loss(mdl, b):
                 out = mdl.forward_batch(b, train=True)
@@ -73,6 +82,7 @@ def make_train_step(model, tx, model_cfg=None, num_class=None):
                 batch,
                 mutable=["batch_stats"],
                 method=fwd_loss,
+                rngs=rngs,
             )
             return loss, (tb, mut["batch_stats"])
 
