@@ -74,23 +74,29 @@ class VoxelBackBone8x(nn.Module):
 
         x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(widths[0], name="conv_input")(x, train)
-        x = Conv3DBNReLU(widths[1], name="conv1")(x, train)
+        x1 = Conv3DBNReLU(widths[1], name="conv1")(x, train)
         x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down")(
-            x, train)
-        x = Conv3DBNReLU(widths[2], name="conv2")(x, train)
+            x1, train)
+        x2 = Conv3DBNReLU(widths[2], name="conv2")(x, train)
         x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down")(
-            x, train)
-        x = Conv3DBNReLU(widths[3], name="conv3")(x, train)
+            x2, train)
+        x3 = Conv3DBNReLU(widths[3], name="conv3")(x, train)
         x = Conv3DBNReLU(widths[4], stride=(2, 2, 2), name="conv4_down")(
-            x, train)
-        x = Conv3DBNReLU(widths[4], name="conv4")(x, train)
+            x3, train)
+        x4 = Conv3DBNReLU(widths[4], name="conv4")(x, train)
         # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv (ref :100-105)
         x = Conv3DBNReLU(
             c_out, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
         )(x, train)
         # height compression: (B, Z', Y', X', C) -> (B, Y', X', Z'*C)
         B, Z, Y, X, C = x.shape
-        return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
+        bev = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
+        # multi_scale_3d_features (spconv_backbone.py:165-178), strides
+        # 1/2/4/8 — consumed by VoxelRCNN/VSA-style pooling stages
+        multi_scale = {
+            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+        }
+        return bev, multi_scale
 
 
 class ResBlock3D(nn.Module):

@@ -5,6 +5,7 @@ from .iassd import IASSD
 from .pointpillar import PointPillar
 from .second import SECOND
 from .second_iou import SECONDNetIoU
+from .voxel_rcnn import VoxelRCNN
 
 __all__ = {
     "CenterPoint": CenterPoint,
@@ -12,10 +13,13 @@ __all__ = {
     "PointPillar": PointPillar,
     "SECOND": SECOND,
     "SECONDNetIoU": SECONDNetIoU,
+    "VoxelRCNN": VoxelRCNN,
 }
 
 #: voxel-pipeline detectors that take grid geometry from the dataset
-VOXEL_DETECTORS = ("PointPillar", "SECOND", "CenterPoint", "SECONDNetIoU")
+VOXEL_DETECTORS = (
+    "PointPillar", "SECOND", "CenterPoint", "SECONDNetIoU", "VoxelRCNN",
+)
 
 
 def get_post_processor(name):
@@ -30,6 +34,10 @@ def get_post_processor(name):
         from .second_iou import post_processing as iou_post
 
         return iou_post
+    if name in ("VoxelRCNN", "PVRCNN", "PartA2Net", "PointRCNN"):
+        from .voxel_rcnn import post_processing as refined_post
+
+        return refined_post
     from .iassd import post_processing as default_post
 
     return lambda out, mcfg: default_post(

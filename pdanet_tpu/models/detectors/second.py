@@ -75,7 +75,9 @@ class SECOND(nn.Module):
 
     def __call__(self, voxels, voxel_coords, voxel_num_points, train=False):
         voxel_features = self.vfe(voxels, voxel_num_points, train=train)
-        spatial = self.backbone_3d(voxel_features, voxel_coords, train=train)
+        spatial, multi_scale = self.backbone_3d(
+            voxel_features, voxel_coords, train=train
+        )
         spatial_2d = self.backbone_2d(spatial, train=train)
         cls_preds, box_preds, dir_preds = self.dense_head(spatial_2d)
         batch_cls, batch_boxes = AH.generate_predicted_boxes(
@@ -92,6 +94,7 @@ class SECOND(nn.Module):
             "batch_cls_preds": batch_cls,
             "batch_box_preds": batch_boxes,
             "spatial_features_2d": spatial_2d,  # RoI stages pool from this
+            "multi_scale_3d_features": multi_scale,
         }
 
     def loss(self, forward_out, gt_boxes, class_names):

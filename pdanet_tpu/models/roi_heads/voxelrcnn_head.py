@@ -1,0 +1,172 @@
+"""Voxel-RCNN RoI head — counterpart of
+``pcdet/models/roi_heads/voxelrcnn_head.py`` (:1-260) +
+``pointnet2_stack/voxel_pool_modules.NeighborVoxelSAModuleMSG`` (:1-131).
+
+TPU re-design of the voxel-query neighbor aggregation: the reference
+voxel-queries up to NSAMPLE non-empty sparse voxels within QUERY_RANGES of
+each RoI grid point.  Our 3D backbone is dense (every cell holds a value),
+so the query becomes a fixed 3x3x3 neighborhood gather around the grid
+point's cell at each scale — same three-MLP structure (feature pre-MLP +
+position MLP added, ReLU, max-pool over neighbors, out-MLP,
+voxel_pool_modules.py:90-127), with out-of-bounds / out-of-radius
+neighbors masked to the empty-ball zero contribution.
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.easydict import EasyDict
+
+
+def get_dense_grid_points(rois, grid_size):
+    """RoI-local regular grid points -> global coords
+    (voxelrcnn_head.py:193-215).
+
+    Args:
+        rois: (..., 7).
+    Returns:
+        global points (..., grid_size^3, 3).
+    """
+    from ...ops.geometry import rotate_points_along_z
+
+    g = int(grid_size)
+    lead = rois.shape[:-1]
+    flat = rois.reshape(-1, rois.shape[-1])
+    n = flat.shape[0]
+    ii = jnp.arange(g, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    dense_idx = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # (g^3, 3)
+    local_size = flat[:, None, 3:6]
+    local = (dense_idx[None] + 0.5) / g * local_size - local_size / 2
+    rotated = rotate_points_along_z(local, flat[:, 6])
+    out = rotated + flat[:, None, 0:3]
+    return out.reshape(lead + (g * g * g, 3))
+
+
+class NeighborGridPool(nn.Module):
+    """Dense neighbor aggregation around query points at one scale."""
+
+    mlp: Sequence[int]  # (C_in, C_mid, C_out)
+    radius: float
+
+    @nn.compact
+    def __call__(self, dense, stride, query_xyz, voxel_size, pc_range,
+                 train=False):
+        """Args:
+            dense: (B, Z, Y, X, C_in) feature grid at this scale;
+            query_xyz: (B, G, 3) global query points.
+        Returns:
+            (B, G, C_out).
+        """
+        B, Z, Y, X, C = dense.shape
+        c_mid, c_out = int(self.mlp[1]), int(self.mlp[2])
+        # feature pre-MLP on the grid (mlps_in, voxel_pool_modules.py:35-38)
+        f = nn.Dense(c_mid, use_bias=False, name="mlp_in")(dense)
+        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn_in")(f)
+        f = f.reshape(B, Z * Y * X, c_mid)
+
+        vs = jnp.asarray(voxel_size, jnp.float32) * float(stride)
+        origin = jnp.asarray(pc_range[:3], jnp.float32)
+        cellf = (query_xyz - origin) / vs  # xyz cell coords (float)
+        cell = jnp.floor(cellf).astype(jnp.int32)
+
+        offs = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+        ).reshape(-1, 3)  # (27, 3) xyz offsets
+        nb = cell[:, :, None, :] + offs[None, None]  # (B, G, 27, 3) xyz
+        inb = (
+            (nb[..., 0] >= 0) & (nb[..., 0] < X)
+            & (nb[..., 1] >= 0) & (nb[..., 1] < Y)
+            & (nb[..., 2] >= 0) & (nb[..., 2] < Z)
+        )
+        nxs = jnp.clip(nb[..., 0], 0, X - 1)
+        nys = jnp.clip(nb[..., 1], 0, Y - 1)
+        nzs = jnp.clip(nb[..., 2], 0, Z - 1)
+        flat = nzs * (Y * X) + nys * X + nxs  # (B, G, 27)
+        G = flat.shape[1]
+        gathered = jnp.take_along_axis(
+            f, flat.reshape(B, G * 27, 1), axis=1
+        ).reshape(B, G, 27, c_mid)
+
+        centers = (nb.astype(jnp.float32) + 0.5) * vs + origin
+        rel = centers - query_xyz[:, :, None, :]  # (B, G, 27, 3)
+        valid = inb & (jnp.sum(rel * rel, axis=-1) < self.radius**2)
+
+        # position MLP added to grouped features (mlps_pos, :40-43,110-113)
+        pos = nn.Dense(c_mid, use_bias=False, name="mlp_pos")(rel)
+        pos = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn_pos")(pos)
+        h = nn.relu(gathered + pos)
+        h = jnp.where(valid[..., None], h, 0.0)
+        h = jnp.max(h, axis=2)  # (B, G, c_mid)
+
+        h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn_out")(h)
+        return nn.relu(h)
+
+
+class VoxelRCNNHeadNet(nn.Module):
+    """Multi-scale RoI grid pooling + refinement FCs
+    (voxelrcnn_head.py:105-260)."""
+
+    model_cfg: Any
+    code_size: int
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, multi_scale, strides, rois, voxel_size, pc_range,
+                 train=False):
+        cfg = EasyDict(self.model_cfg)
+        pool_cfg = cfg.ROI_GRID_POOL
+        g = int(pool_cfg.GRID_SIZE)
+        B, R = rois.shape[:2]
+        grid_xyz = get_dense_grid_points(rois, g).reshape(B, R * g**3, 3)
+
+        feats = []
+        for src in pool_cfg.FEATURES_SOURCE:
+            lcfg = EasyDict(pool_cfg.POOL_LAYERS[src])
+            mlp = [int(multi_scale[src].shape[-1])] + list(lcfg.MLPS[0])
+            feats.append(
+                NeighborGridPool(
+                    mlp=tuple(mlp), radius=float(lcfg.POOL_RADIUS[0]),
+                    name=f"pool_{src}",
+                )(
+                    multi_scale[src], strides[src], grid_xyz, voxel_size,
+                    pc_range, train,
+                )
+            )
+        pooled = jnp.concatenate(feats, axis=-1)  # (B, R*g^3, c_out)
+        x = pooled.reshape(B, R, -1)
+
+        dp = float(cfg.get("DP_RATIO", 0.0))
+
+        def fc_stack(x, widths, prefix):
+            for k, f in enumerate(widths):
+                x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, name=f"{prefix}_bn{k}",
+                )(x)
+                x = nn.relu(x)
+                if k != len(widths) - 1 and dp > 0:
+                    x = nn.Dropout(dp, deterministic=not train)(x)
+            return x
+
+        shared = fc_stack(x, list(cfg.SHARED_FC), "shared")
+        cls_h = fc_stack(shared, list(cfg.CLS_FC), "cls")
+        rcnn_cls = nn.Dense(
+            self.num_class, use_bias=True, name="cls_pred",
+            kernel_init=nn.initializers.normal(0.01),
+        )(cls_h)
+        reg_h = fc_stack(shared, list(cfg.REG_FC), "reg")
+        rcnn_reg = nn.Dense(
+            self.code_size * self.num_class, use_bias=True, name="reg_pred",
+            kernel_init=nn.initializers.normal(0.001),
+        )(reg_h)
+        return rcnn_cls, rcnn_reg

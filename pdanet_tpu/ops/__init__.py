@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     grouping,
     interpolate,
     nms,
+    roi_pool,
     rotated_iou,
     sampling,
 )
@@ -21,6 +22,7 @@ from .geometry import (  # noqa: F401
 from .grouping import gather_points, gaussian_density, group_points  # noqa: F401
 from .interpolate import three_interpolate, three_nn  # noqa: F401
 from .nms import nms_rotated  # noqa: F401
+from .roi_pool import roiaware_pool3d, roipoint_pool3d  # noqa: F401
 from .rotated_iou import boxes_iou3d, boxes_iou_bev, boxes_overlap_bev  # noqa: F401
 from .sampling import (  # noqa: F401
     calc_square_dist,

@@ -266,3 +266,102 @@ def test_chamfer_distance_vs_numpy():
     l1 = float(cd_loss_l1(jnp.asarray(a), jnp.asarray(b)))
     ref_l1 = (np.sqrt(ref.min(2)).mean() + np.sqrt(ref.min(1)).mean()) / 2
     np.testing.assert_allclose(l1, ref_l1, rtol=1e-5)
+
+
+class TestRoiPool:
+    @staticmethod
+    def _rois(n, seed):
+        rng = np.random.RandomState(seed)
+        r = np.zeros((n, 7), np.float32)
+        r[:, 0:2] = rng.uniform(-5, 5, (n, 2))
+        r[:, 2] = rng.uniform(-1, 1, n)
+        r[:, 3:6] = rng.uniform(1.0, 4.0, (n, 3))
+        r[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        return r
+
+    @staticmethod
+    def _oracle(rois, points, feats, out_size, method):
+        """Port of roiaware_pool3d_kernel.cu:39-311 (per-box loops)."""
+        ox, oy, oz = out_size
+        R, C = len(rois), feats.shape[-1]
+        pooled = np.zeros((R, ox, oy, oz, C), np.float32)
+        counts = np.zeros((R, ox, oy, oz), np.int64)
+        for r in range(R):
+            cx, cy, cz, dx, dy, dz, ry = rois[r]
+            for p in range(len(points)):
+                x, y, z = points[p]
+                if abs(z - cz) > dz / 2:
+                    continue
+                ca, sa = np.cos(-ry), np.sin(-ry)
+                lx = (x - cx) * ca - (y - cy) * sa
+                ly = (x - cx) * sa + (y - cy) * ca
+                if not (abs(lx) < dx / 2 + 1e-5 and abs(ly) < dy / 2 + 1e-5):
+                    continue
+                lz = z - cz
+                xi = min(max(int((lx + dx / 2) / (dx / ox)), 0), ox - 1)
+                yi = min(max(int((ly + dy / 2) / (dy / oy)), 0), oy - 1)
+                zi = min(max(int((lz + dz / 2) / (dz / oz)), 0), oz - 1)
+                if method == "max":
+                    if counts[r, xi, yi, zi] == 0:
+                        pooled[r, xi, yi, zi] = feats[p]
+                    else:
+                        pooled[r, xi, yi, zi] = np.maximum(
+                            pooled[r, xi, yi, zi], feats[p]
+                        )
+                else:
+                    pooled[r, xi, yi, zi] += feats[p]
+                counts[r, xi, yi, zi] += 1
+        if method == "avg":
+            pooled = pooled / np.maximum(counts[..., None], 1)
+        return pooled
+
+    @pytest.mark.parametrize("method", ["max", "avg"])
+    def test_roiaware_vs_oracle(self, method):
+        rng = np.random.RandomState(11)
+        rois = self._rois(6, 12)
+        points = rng.uniform(-6, 6, (256, 3)).astype(np.float32)
+        feats = rng.randn(256, 5).astype(np.float32)
+        got = np.asarray(ops.roiaware_pool3d(
+            jnp.asarray(rois), jnp.asarray(points), jnp.asarray(feats),
+            (4, 4, 2), pool_method=method,
+        ))
+        want = self._oracle(rois, points, feats, (4, 4, 2), method)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_roipoint_scan_order_and_duplication(self):
+        rng = np.random.RandomState(13)
+        rois = self._rois(4, 14)
+        rois[3, 0:3] = 100.0  # empty roi
+        points = rng.uniform(-6, 6, (128, 3)).astype(np.float32)
+        # plant interior points so rois 0-2 are non-empty (random uniform
+        # points rarely land inside a specific rotated box)
+        for r in range(3):
+            sl = slice(10 + r * 20, 10 + r * 20 + 8)
+            points[sl] = rois[r, 0:3] + rng.uniform(-0.3, 0.3, (8, 3))
+        feats = rng.randn(128, 3).astype(np.float32)
+        K = 16
+        pooled, empty = ops.roipoint_pool3d(
+            jnp.asarray(rois), jnp.asarray(points), jnp.asarray(feats), K
+        )
+        pooled, empty = np.asarray(pooled), np.asarray(empty)
+        assert empty[3] and not empty[:3].any()
+        assert (pooled[3] == 0).all()
+        # oracle: first-K in scan order with cyclic duplication
+        for r in range(3):
+            cx, cy, cz, dx, dy, dz, ry = rois[r]
+            ca, sa = np.cos(-ry), np.sin(-ry)
+            lx = (points[:, 0] - cx) * ca - (points[:, 1] - cy) * sa
+            ly = (points[:, 0] - cx) * sa + (points[:, 1] - cy) * ca
+            inside = (
+                (np.abs(points[:, 2] - cz) <= dz / 2)
+                & (np.abs(lx) < dx / 2 + 1e-5)
+                & (np.abs(ly) < dy / 2 + 1e-5)
+            )
+            idx = np.where(inside)[0]
+            want = np.array([idx[k % len(idx)] for k in range(K)])
+            np.testing.assert_allclose(
+                pooled[r, :, 0:3], points[want], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                pooled[r, :, 3:], feats[want], rtol=1e-6
+            )

@@ -275,3 +275,135 @@ def test_second_iou_forward_loss_grads():
     # the roi head got gradients too
     roi_grads = jax.tree_util.tree_leaves(grads["roi_head"])
     assert any(float(jnp.abs(g).max()) > 0 for g in roi_grads)
+
+
+def test_dense_grid_points_vs_oracle():
+    from pdanet_tpu.models.roi_heads.voxelrcnn_head import get_dense_grid_points
+
+    rois = _boxes(4, 21)[None]
+    g = 4
+    got = np.asarray(get_dense_grid_points(jnp.asarray(rois), g))  # (1,4,64,3)
+    # numpy port of voxelrcnn_head.py:193-215
+    for r in range(4):
+        cx, cy, cz, dx, dy, dz, ry = rois[0, r]
+        idx = np.stack(np.meshgrid(
+            np.arange(g), np.arange(g), np.arange(g), indexing="ij"
+        ), axis=-1).reshape(-1, 3).astype(np.float32)
+        local = (idx + 0.5) / g * np.array([dx, dy, dz]) - np.array(
+            [dx, dy, dz]) / 2
+        ca, sa = np.cos(ry), np.sin(ry)
+        x = local[:, 0] * ca - local[:, 1] * sa
+        y = local[:, 0] * sa + local[:, 1] * ca
+        want = np.stack([x + cx, y + cy, local[:, 2] + cz], axis=-1)
+        np.testing.assert_allclose(got[0, r], want, rtol=1e-4, atol=1e-5)
+
+
+def _voxel_rcnn_tiny_cfg():
+    from test_second import SECOND_MODEL_CFG
+
+    cfg = EasyDict({k: v for k, v in SECOND_MODEL_CFG.items()})
+    cfg.NAME = "VoxelRCNN"
+    cfg.POST_PROCESSING = EasyDict({
+        "SCORE_THRESH": 0.3,
+        "NMS_CONFIG": {"NMS_THRESH": 0.1, "NMS_PRE_MAXSIZE": 16,
+                       "NMS_POST_MAXSIZE": 8},
+    })
+    cfg.ROI_HEAD = EasyDict({
+        "NAME": "VoxelRCNNHead", "CLASS_AGNOSTIC": True,
+        "SHARED_FC": [32, 32], "CLS_FC": [16], "REG_FC": [16],
+        "DP_RATIO": 0.3,
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_PRE_MAXSIZE": 64, "NMS_POST_MAXSIZE": 32,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_PRE_MAXSIZE": 64, "NMS_POST_MAXSIZE": 16,
+                     "NMS_THRESH": 0.7},
+        },
+        "ROI_GRID_POOL": {
+            "FEATURES_SOURCE": ["x_conv2", "x_conv3", "x_conv4"],
+            "PRE_MLP": True, "GRID_SIZE": 4,
+            "POOL_LAYERS": {
+                "x_conv2": {"MLPS": [[8, 8]], "QUERY_RANGES": [[4, 4, 4]],
+                            "POOL_RADIUS": [0.8], "NSAMPLE": [16],
+                            "POOL_METHOD": "max_pool"},
+                "x_conv3": {"MLPS": [[8, 8]], "QUERY_RANGES": [[4, 4, 4]],
+                            "POOL_RADIUS": [1.6], "NSAMPLE": [16],
+                            "POOL_METHOD": "max_pool"},
+                "x_conv4": {"MLPS": [[8, 8]], "QUERY_RANGES": [[4, 4, 4]],
+                            "POOL_RADIUS": [3.2], "NSAMPLE": [16],
+                            "POOL_METHOD": "max_pool"},
+            },
+        },
+        "TARGET_CONFIG": {
+            "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+            "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+            "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+            "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+            "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55,
+        },
+        "LOSS_CONFIG": {
+            "CLS_LOSS": "BinaryCrossEntropy", "REG_LOSS": "smooth-l1",
+            "CORNER_LOSS_REGULARIZATION": True,
+            "LOSS_WEIGHTS": {"rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                             "rcnn_corner_weight": 1.0,
+                             "code_weights": [1.0] * 7},
+        },
+    })
+    return cfg
+
+
+def test_voxel_rcnn_forward_loss_grads():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_second import GRID, _make_inputs
+
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.models.detectors.voxel_rcnn import post_processing
+
+    cfg = _voxel_rcnn_tiny_cfg()
+    model = build_network(
+        cfg, num_class=2, grid_size=GRID, voxel_size=(0.2, 0.2, 0.5),
+        point_cloud_range=(0, -3.2, -3, 6.4, 3.2, 1),
+        class_names=("Car", "Pedestrian"),
+    )
+    voxels, coords, nums = _make_inputs(seed=4)
+    variables = model.init(jax.random.PRNGKey(0), voxels, coords, nums)
+
+    out = jax.jit(
+        lambda v, a, b, c: model.apply(v, a, b, c, train=False)
+    )(variables, voxels, coords, nums)
+    assert out["batch_box_preds"].shape == (1, 16, 7)  # refined rois
+    assert out["rcnn_cls"].shape == (1, 16, 1)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+    pred = jax.jit(lambda o: post_processing(o, cfg))(out)
+    assert pred["pred_boxes"].shape == (1, 8, 7)
+
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0] = [3.0, 0.5, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+    gt[0, 1] = [1.5, -1.0, -0.2, 0.8, 0.6, 1.73, -0.5, 2]
+    batch = {
+        "voxels": jnp.asarray(voxels), "voxel_coords": jnp.asarray(coords),
+        "voxel_num_points": jnp.asarray(nums), "gt_boxes": jnp.asarray(gt),
+    }
+
+    def loss_fn(params):
+        def fwd_loss(mdl, b):
+            o = mdl.forward_batch(b, train=True)
+            return mdl.loss_batch(o, b)
+
+        (loss, tb), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, mutable=["batch_stats"], method=fwd_loss,
+            rngs={"proposal": jax.random.PRNGKey(5),
+                  "dropout": jax.random.PRNGKey(6)},
+        )
+        return loss, tb
+
+    (loss, tb), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert "rcnn_loss_cls" in tb and "rcnn_loss_reg" in tb
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    roi_grads = jax.tree_util.tree_leaves(grads["roi_head"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in roi_grads)
