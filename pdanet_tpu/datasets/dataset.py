@@ -90,6 +90,8 @@ class DatasetTemplate:
             )
             data_dict["gt_boxes"] = data_dict["gt_boxes"][selected]
             data_dict["gt_names"] = data_dict["gt_names"][selected]
+            if data_dict.get("gt_boxes2d", None) is not None:
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][selected]
             gt_classes = np.array(
                 [self.class_names.index(n) + 1 for n in data_dict["gt_names"]],
                 dtype=np.int32,
@@ -193,6 +195,29 @@ class DatasetTemplate:
                     m = min(len(val[k]), max_gt)
                     batch_gt[k, :m, :] = val[k][:m]
                 ret[key] = batch_gt
+            elif key == "gt_boxes2d":
+                max_gt = max([len(x) for x in val] + [1])
+                if max_gt_cap is not None:
+                    max_gt = int(max_gt_cap)
+                batch_gt = np.zeros((batch_size, max_gt, 4), np.float32)
+                for k in range(batch_size):
+                    m = min(len(val[k]), max_gt)
+                    batch_gt[k, :m, :] = val[k][:m]
+                ret[key] = batch_gt
+            elif key in ("images", "depth_maps"):
+                # pad bottom/right with zeros to the batch-max image shape
+                # (reference collate pads camera inputs the same way)
+                h_max = max(v.shape[0] for v in val)
+                w_max = max(v.shape[1] for v in val)
+                padded = [
+                    np.pad(
+                        v,
+                        [(0, h_max - v.shape[0]), (0, w_max - v.shape[1])]
+                        + [(0, 0)] * (v.ndim - 2),
+                    )
+                    for v in val
+                ]
+                ret[key] = np.stack(padded, axis=0).astype(np.float32)
             elif key in ["frame_id", "metadata", "calib", "image_shape"]:
                 ret[key] = val
             else:

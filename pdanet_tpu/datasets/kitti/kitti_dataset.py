@@ -91,6 +91,39 @@ class KittiDataset(DatasetTemplate):
         assert label_file.exists()
         return object3d_kitti.get_objects_from_label(label_file)
 
+    def get_image(self, idx):
+        """(H, W, 3) float32 in [0, 1] (reference kitti_dataset.py:68-80)."""
+        from PIL import Image
+
+        img_file = self.root_split_path / "image_2" / ("%s.png" % idx)
+        assert img_file.exists()
+        return (
+            np.asarray(Image.open(img_file).convert("RGB"), np.float32)
+            / 255.0
+        )
+
+    def get_depth_map(self, idx):
+        """(H, W) float32 meters: uint16 png / 256
+        (reference kitti_dataset.py:131-143)."""
+        from PIL import Image
+
+        depth_file = self.root_split_path / "depth_2" / ("%s.png" % idx)
+        assert depth_file.exists()
+        return np.asarray(Image.open(depth_file), np.float32) / 256.0
+
+    @staticmethod
+    def calib_to_matricies(calib):
+        """(4, 4) lidar->cam (rect) and (3, 4) cam->image matrices
+        (reference kitti_utils.calib_to_matricies)."""
+        V2C = np.vstack(
+            [calib.V2C, np.array([[0, 0, 0, 1]], np.float32)]
+        )  # (4, 4)
+        R0 = np.vstack(
+            [np.hstack([calib.R0, np.zeros((3, 1), np.float32)]),
+             np.array([[0, 0, 0, 1]], np.float32)]
+        )  # (4, 4)
+        return (R0 @ V2C).astype(np.float32), calib.P2.astype(np.float32)
+
     def get_calib(self, idx):
         calib_file = self.root_split_path / "calib" / ("%s.txt" % idx)
         assert calib_file.exists()
@@ -367,6 +400,8 @@ class KittiDataset(DatasetTemplate):
                 gt_boxes_camera, calib
             )
             input_dict.update({"gt_names": gt_names, "gt_boxes": gt_boxes_lidar})
+            if "gt_boxes2d" in get_item_list:
+                input_dict["gt_boxes2d"] = annos["bbox"].astype(np.float32)
             road_plane = self.get_road_plane(sample_idx)
             if road_plane is not None:
                 input_dict["road_plane"] = road_plane
@@ -378,6 +413,16 @@ class KittiDataset(DatasetTemplate):
                 fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
                 points = points[fov_flag]
             input_dict["points"] = points
+
+        if "images" in get_item_list:
+            input_dict["images"] = self.get_image(sample_idx)
+        if "depth_maps" in get_item_list:
+            input_dict["depth_maps"] = self.get_depth_map(sample_idx)
+        if "calib_matricies" in get_item_list:
+            (
+                input_dict["trans_lidar_to_cam"],
+                input_dict["trans_cam_to_img"],
+            ) = self.calib_to_matricies(calib)
 
         data_dict = self.prepare_data(data_dict=input_dict)
         data_dict["image_shape"] = img_shape

@@ -107,6 +107,23 @@ class DataProcessor:
             return partial(self.calculate_grid_size, config=config)
         return data_dict
 
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Block-mean depth-map downsample (reference data_processor.py:
+        227-236, skimage downscale_local_mean) — plain numpy here."""
+        if data_dict is None:
+            self.depth_downsample_factor = config.DOWNSAMPLE_FACTOR
+            return partial(self.downsample_depth_map, config=config)
+        f = int(self.depth_downsample_factor)
+        dm = data_dict["depth_maps"]
+        H, W = dm.shape
+        ph, pw = (-H) % f, (-W) % f
+        if ph or pw:  # zero-pad to a multiple (downscale_local_mean cval=0)
+            dm = np.pad(dm, ((0, ph), (0, pw)))
+        data_dict["depth_maps"] = dm.reshape(
+            (H + ph) // f, f, (W + pw) // f, f
+        ).mean(axis=(1, 3)).astype(np.float32)
+        return data_dict
+
     def transform_points_to_voxels_placeholder(self, data_dict=None, config=None):
         if data_dict is None:
             grid_size = (

@@ -85,7 +85,7 @@ def eval_one_epoch(
     from ..train.train_utils import select_device_batch
 
     for i, batch_dict in enumerate(dataloader):
-        dev_batch = select_device_batch(batch_dict)
+        dev_batch = select_device_batch(batch_dict, model)
         gt_boxes = dev_batch.pop("gt_boxes", None)
         t0 = time.time()
         if gt_boxes is not None:

@@ -1,0 +1,138 @@
+"""UNetV2 voxel backbone — counterpart of
+``pcdet/models/backbones_3d/spconv_unet.py`` (:1-212): the Part-A2
+encoder-decoder.  Encoder = VoxelBackBone8x stage ladder; decoder = UR
+blocks (lateral residual block, concat with bottom-up, merge conv +
+pairwise channel-reduction residual, inverse-conv upsample) back to full
+resolution; per-voxel features gathered at the input voxel coords.
+
+TPU-first divergence (same policy as voxel_backbone.py): dense
+channels-last grids + ordinary ``nn.Conv``/``nn.ConvTranspose`` replace
+spconv; SAME padding sets the stage dims, and transposed-conv outputs
+crop to the lateral stage's dims.
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .voxel_backbone import Conv3DBNReLU, ResBlock3D, scatter_to_dense
+
+
+def gather_from_dense(grid, voxel_coords):
+    """Inverse of ``scatter_to_dense``: read per-voxel rows back.
+
+    Args:
+        grid: (B, Z, Y, X, C); voxel_coords: (B, V, 3) zyx, -1 padded.
+    Returns:
+        (B, V, C) with zeroed padding rows.
+    """
+    B, Z, Y, X, C = grid.shape
+    valid = voxel_coords[..., 0] >= 0
+    zs = jnp.clip(voxel_coords[..., 0], 0, Z - 1)
+    ys = jnp.clip(voxel_coords[..., 1], 0, Y - 1)
+    xs = jnp.clip(voxel_coords[..., 2], 0, X - 1)
+    flat = zs * (Y * X) + ys * X + xs
+    out = jnp.take_along_axis(
+        grid.reshape(B, -1, C), flat[..., None], axis=1
+    )
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def channel_reduction(x, out_channels):
+    """Pairwise channel-group sum (spconv_unet.py:146-161)."""
+    c_in = x.shape[-1]
+    assert c_in % out_channels == 0
+    return x.reshape(x.shape[:-1] + (out_channels, c_in // out_channels)).sum(
+        axis=-1
+    )
+
+
+class UpConv3D(nn.Module):
+    """Inverse conv (SparseInverseConv3d analogue): transposed 3x3x3
+    stride-2 conv + BN + ReLU, cropped to the lateral stage's dims."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, target_shape, train=False):
+        x = nn.ConvTranspose(
+            self.features, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+            padding="SAME", use_bias=False,
+        )(x)
+        x = x[:, : target_shape[0], : target_shape[1], : target_shape[2], :]
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+        )(x)
+        return nn.relu(x)
+
+
+class URBlock(nn.Module):
+    """UR_block_forward (spconv_unet.py:135-144): conv_up_t residual on
+    the lateral, concat bottom-up, conv_up_m merge with a
+    channel-reduction residual; the caller applies the upsample."""
+
+    c_mid: int
+
+    @nn.compact
+    def __call__(self, lateral, bottom, train=False):
+        x_trans = ResBlock3D(lateral.shape[-1], name="conv_up_t")(
+            lateral, train)
+        x = jnp.concatenate([bottom, x_trans], axis=-1)
+        x_m = Conv3DBNReLU(self.c_mid, name="conv_up_m")(x, train)
+        return x_m + channel_reduction(x, self.c_mid)
+
+
+class UNetV2(nn.Module):
+    """Returns (bev, aux) matching the detector backbone contract; aux
+    carries the decoder's per-voxel outputs:
+        point_features (B, V, 16), point_valid (B, V) — gathered at the
+        input voxel coords (the reference's x_up1 active set)."""
+
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any  # (nx, ny, nz)
+
+    @nn.compact
+    def __call__(self, voxel_features, voxel_coords, train=False):
+        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        x = Conv3DBNReLU(16, name="conv_input")(x, train)
+        x1 = Conv3DBNReLU(16, name="conv1")(x, train)
+        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(x1, train)
+        x = Conv3DBNReLU(32, name="conv2_a")(x, train)
+        x2 = Conv3DBNReLU(32, name="conv2_b")(x, train)
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(x2, train)
+        x = Conv3DBNReLU(64, name="conv3_a")(x, train)
+        x3 = Conv3DBNReLU(64, name="conv3_b")(x, train)
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv4_down")(x3, train)
+        x = Conv3DBNReLU(64, name="conv4_a")(x, train)
+        x4 = Conv3DBNReLU(64, name="conv4_b")(x, train)
+
+        # encoder output for the detection head (spconv_unet.py:97-106);
+        # RETURN_ENCODED_TENSOR: False (PartA2-free) skips it entirely
+        if dict(self.model_cfg or {}).get("RETURN_ENCODED_TENSOR", True):
+            out = Conv3DBNReLU(
+                128, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
+            )(x4, train)
+            B, Z, Y, X, C = out.shape
+            bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(
+                B, Y, X, Z * C)
+        else:
+            bev = None
+
+        # decoder (spconv_unet.py:195-203)
+        u = URBlock(64, name="ur4")(x4, x4, train)
+        u = UpConv3D(64, name="inv_conv4")(u, x3.shape[1:4], train)
+        u = URBlock(64, name="ur3")(x3, u, train)
+        u = UpConv3D(32, name="inv_conv3")(u, x2.shape[1:4], train)
+        u = URBlock(32, name="ur2")(x2, u, train)
+        u = UpConv3D(16, name="inv_conv2")(u, x1.shape[1:4], train)
+        u = URBlock(16, name="ur1")(x1, u, train)
+        x_up1 = Conv3DBNReLU(16, name="conv5")(u, train)
+
+        point_features = gather_from_dense(x_up1, voxel_coords)
+        aux = {
+            "point_features": point_features,
+            "point_valid": voxel_coords[..., 0] >= 0,
+        }
+        return bev, aux

@@ -120,6 +120,15 @@ def post_processing(batch_cls_preds, batch_box_preds, post_cfg):
     labels = jnp.argmax(scores_all, axis=-1) + 1
 
     nms_cfg = post_cfg.NMS_CONFIG
+    if nms_cfg.get("MULTI_CLASSES_NMS", False):
+        from ..model_utils.model_nms_utils import batched_multi_classes_nms
+
+        out = batched_multi_classes_nms(
+            scores_all, batch_box_preds,
+            jnp.ones(scores_all.shape[:2], bool), nms_cfg,
+            score_thresh=float(post_cfg.SCORE_THRESH),
+        )
+        return out
     N = batch_box_preds.shape[1]
     pre = min(int(nms_cfg.NMS_PRE_MAXSIZE), N)
     post = min(int(nms_cfg.NMS_POST_MAXSIZE), pre)

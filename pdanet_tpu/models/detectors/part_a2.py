@@ -1,0 +1,145 @@
+"""Part-A2 detector — counterpart of
+``pcdet/models/detectors/PartA2_net.py`` (:1-48): MeanVFE -> UNetV2
+encoder-decoder -> BEV anchor RPN, PointIntraPartOffsetHead per-voxel
+seg/part stage, PartA2FCHead RoIAware refinement."""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.box_coder_utils import build_box_coder
+from ...utils.easydict import EasyDict
+from ..dense_heads.point_intra_part_head import (
+    PointIntraPartOffsetHeadNet,
+    point_intra_part_loss,
+)
+from ..roi_heads import roi_head_template as RHT
+from ..roi_heads.partA2_head import PartA2HeadNet
+from .second import SECOND
+
+
+class PartA2Net(SECOND):
+    def setup(self):
+        super().setup()
+        cfg = EasyDict(self.model_cfg)
+        object.__setattr__(self, "point_cfg", cfg.POINT_HEAD)
+        self.point_head = PointIntraPartOffsetHeadNet(
+            model_cfg=cfg.POINT_HEAD, num_class=self.num_class,
+            name="point_head",
+        )
+        roi_cfg = cfg.ROI_HEAD
+        object.__setattr__(self, "roi_cfg", roi_cfg)
+        coder = build_box_coder(
+            roi_cfg.TARGET_CONFIG.BOX_CODER,
+            roi_cfg.TARGET_CONFIG.get("BOX_CODER_CONFIG", {}),
+        )
+        object.__setattr__(self, "roi_box_coder", coder)
+        n_cls = 1 if roi_cfg.get("CLASS_AGNOSTIC", True) else self.num_class
+        self.roi_head = PartA2HeadNet(
+            model_cfg=roi_cfg, code_size=coder.code_size, num_class=n_cls,
+            name="roi_head",
+        )
+
+    def _voxel_centers(self, voxel_coords):
+        """(B, V, 3) zyx int coords -> xyz centers (stride-1 grid)."""
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        origin = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        xyz_idx = voxel_coords[..., ::-1].astype(jnp.float32)  # zyx -> xyz
+        return (xyz_idx + 0.5) * vs + origin
+
+    def __call__(self, voxels, voxel_coords, voxel_num_points, gt_boxes=None,
+                 train=False):
+        out = SECOND.__call__(
+            self, voxels, voxel_coords, voxel_num_points, train=train
+        )
+        aux = out["multi_scale_3d_features"]  # UNetV2 decoder outputs
+        seg_features = aux["point_features"]  # (B, V, 16)
+        point_valid = aux["point_valid"]
+        point_coords = self._voxel_centers(voxel_coords)
+
+        point_cls_preds, point_part_preds = self.point_head(
+            seg_features, train=train
+        )
+        point_cls_scores = jnp.max(
+            jax.nn.sigmoid(point_cls_preds), axis=-1
+        )
+        part_offsets = jax.nn.sigmoid(point_part_preds)
+        out["point_cls_preds"] = point_cls_preds
+        out["point_part_preds"] = point_part_preds
+        out["point_cls_scores"] = point_cls_scores
+        out["point_coords"] = point_coords
+        out["point_valid"] = point_valid
+
+        nms_cfg = self.roi_cfg.NMS_CONFIG["TRAIN" if train else "TEST"]
+        proposals = RHT.proposal_layer(
+            jax.lax.stop_gradient(out["batch_cls_preds"]),
+            jax.lax.stop_gradient(out["batch_box_preds"]),
+            nms_cfg,
+        )
+        if train:
+            assert gt_boxes is not None
+            rng = self.make_rng("proposal")
+            targets = RHT.assign_targets(
+                rng, proposals, gt_boxes, self.roi_cfg.TARGET_CONFIG
+            )
+            rois = targets["rois"]
+            out["roi_targets"] = targets
+        else:
+            rois = proposals["rois"]
+            out["rois"] = rois
+            out["roi_labels"] = proposals["roi_labels"]
+            out["roi_valid"] = proposals["roi_valid"]
+
+        rcnn_cls, rcnn_reg = self.roi_head(
+            point_coords, seg_features,
+            jax.lax.stop_gradient(part_offsets),
+            jax.lax.stop_gradient(point_cls_scores),
+            point_valid, jax.lax.stop_gradient(rois), train=train,
+        )
+        out["rcnn_cls"] = rcnn_cls
+        out["rcnn_reg"] = rcnn_reg
+        if not train:
+            out["batch_box_preds"] = RHT.decode_roi_boxes(
+                rois, rcnn_reg, self.roi_box_coder
+            )
+            out["batch_cls_preds"] = rcnn_cls
+        return out
+
+    def loss(self, forward_out, gt_boxes, class_names):
+        rpn_loss, tb = SECOND.loss(self, forward_out, gt_boxes, class_names)
+        tb = dict(tb)
+        point_loss, tb_p = point_intra_part_loss(
+            forward_out["point_cls_preds"], forward_out["point_part_preds"],
+            forward_out["point_coords"], forward_out["point_valid"],
+            gt_boxes, self.point_cfg,
+        )
+        tb.update(tb_p)
+        targets = dict(forward_out["roi_targets"])
+        targets["rcnn_cls"] = forward_out["rcnn_cls"]
+        targets["rcnn_reg"] = forward_out["rcnn_reg"]
+        cls_loss, tb_c = RHT.roi_box_cls_loss(
+            forward_out["rcnn_cls"], targets["rcnn_cls_labels"],
+            self.roi_cfg.LOSS_CONFIG,
+        )
+        reg_loss, tb_r = RHT.roi_box_reg_loss(
+            targets, self.roi_box_coder, self.roi_cfg.LOSS_CONFIG
+        )
+        tb.update(tb_c)
+        tb.update(tb_r)
+        rcnn_loss = cls_loss + reg_loss
+        tb["rcnn_loss"] = rcnn_loss
+        return rpn_loss + point_loss + rcnn_loss, tb
+
+    # --- detector-agnostic batch interface ---
+
+    def forward_batch(self, batch, train=False):
+        return self(
+            batch["voxels"], batch["voxel_coords"], batch["voxel_num_points"],
+            gt_boxes=batch.get("gt_boxes"), train=train,
+        )
+
+    def loss_batch(self, forward_out, batch):
+        return self.loss(
+            forward_out, batch["gt_boxes"], list(self.class_names)
+        )

@@ -15,8 +15,17 @@ from ...utils.box_coder_utils import build_box_coder
 from ...utils.easydict import EasyDict
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
-from ..backbones_3d.voxel_backbone import VoxelBackBone8x
+from ..backbones_3d.voxel_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.voxel_unet import UNetV2
 from ..dense_heads import anchor_head as AH
+
+#: 3D backbone registry; each returns (bev_map, aux) where aux is the
+#: multi-scale tap dict (conv backbones) or decoder outputs (UNetV2)
+_BACKBONES_3D = {
+    "VoxelBackBone8x": VoxelBackBone8x,
+    "VoxelResBackBone8x": VoxelResBackBone8x,
+    "UNetV2": UNetV2,
+}
 
 
 class SECOND(nn.Module):
@@ -36,8 +45,9 @@ class SECOND(nn.Module):
             num_point_features=self.input_channels,
             name="vfe",
         )
-        self.backbone_3d = VoxelBackBone8x(
-            model_cfg=cfg.get("BACKBONE_3D", {}),
+        b3d_cfg = cfg.get("BACKBONE_3D", {})
+        self.backbone_3d = _BACKBONES_3D[b3d_cfg.get("NAME", "VoxelBackBone8x")](
+            model_cfg=b3d_cfg,
             input_channels=self.input_channels,
             grid_size=self.grid_size,
             name="backbone_3d",
@@ -62,16 +72,37 @@ class SECOND(nn.Module):
         self.box_coder = build_box_coder(
             head_cfg.TARGET_ASSIGNER_CONFIG.BOX_CODER, {}
         )
-        self.dense_head = AH.AnchorHeadSingleNet(
-            num_class=self.num_class,
-            num_anchors_per_location=self.num_anchors_per_location,
-            code_size=self.box_coder.code_size,
-            use_direction_classifier=head_cfg.get(
-                "USE_DIRECTION_CLASSIFIER", True
-            ),
-            num_dir_bins=head_cfg.get("NUM_DIR_BINS", 2),
-            name="dense_head",
-        )
+        if head_cfg.get("NAME", "AnchorHeadSingle") == "AnchorHeadMulti":
+            from ..dense_heads import anchor_head_multi as AHM
+
+            names = [
+                c["class_name"] for c in head_cfg.ANCHOR_GENERATOR_CONFIG
+            ]
+            groups = AHM.build_head_groups(head_cfg.RPN_HEAD_CFGS, names)
+            flat_mh, counts = AHM.multihead_flat_anchors(per_class, groups)
+            object.__setattr__(self, "anchors_flat", flat_mh)
+            object.__setattr__(self, "head_groups", groups)
+            object.__setattr__(self, "head_anchor_counts", counts)
+            self.dense_head = AHM.AnchorHeadMultiNet(
+                model_cfg=head_cfg,
+                head_groups=tuple(tuple(g) for g in groups),
+                num_anchors_per_loc_per_class=tuple(num_per_loc),
+                code_size=self.box_coder.code_size,
+                num_class=self.num_class,
+                name="dense_head",
+            )
+        else:
+            object.__setattr__(self, "head_groups", None)
+            self.dense_head = AH.AnchorHeadSingleNet(
+                num_class=self.num_class,
+                num_anchors_per_location=self.num_anchors_per_location,
+                code_size=self.box_coder.code_size,
+                use_direction_classifier=head_cfg.get(
+                    "USE_DIRECTION_CLASSIFIER", True
+                ),
+                num_dir_bins=head_cfg.get("NUM_DIR_BINS", 2),
+                name="dense_head",
+            )
 
     def __call__(self, voxels, voxel_coords, voxel_num_points, train=False):
         voxel_features = self.vfe(voxels, voxel_num_points, train=train)
@@ -79,7 +110,19 @@ class SECOND(nn.Module):
             voxel_features, voxel_coords, train=train
         )
         spatial_2d = self.backbone_2d(spatial, train=train)
-        cls_preds, box_preds, dir_preds = self.dense_head(spatial_2d)
+        if self.head_groups is not None:
+            from ..dense_heads import anchor_head_multi as AHM
+
+            head_cfg = self.cfg.DENSE_HEAD
+            head_outs = self.dense_head(spatial_2d, train=train)
+            cls_preds, box_preds, dir_preds = AHM.concat_head_preds(
+                head_outs, self.head_groups, self.num_class,
+                self.box_coder.code_size, head_cfg.get("NUM_DIR_BINS", 2),
+                head_cfg.get("SEPARATE_MULTIHEAD", False),
+            )
+        else:
+            head_outs = None
+            cls_preds, box_preds, dir_preds = self.dense_head(spatial_2d)
         batch_cls, batch_boxes = AH.generate_predicted_boxes(
             cls_preds, box_preds, dir_preds, self.anchors_flat,
             self.box_coder, self.num_class,
@@ -91,8 +134,10 @@ class SECOND(nn.Module):
             "cls_preds": cls_preds,
             "box_preds": box_preds,
             "dir_cls_preds": dir_preds,
+            "head_outs": head_outs,
             "batch_cls_preds": batch_cls,
             "batch_box_preds": batch_boxes,
+            "spatial_features": spatial,  # pre-2D BEV map (VSA interpolates)
             "spatial_features_2d": spatial_2d,  # RoI stages pool from this
             "multi_scale_3d_features": multi_scale,
         }
@@ -107,6 +152,22 @@ class SECOND(nn.Module):
             (c["matched_threshold"], c["unmatched_threshold"])
             for c in head_cfg.ANCHOR_GENERATOR_CONFIG
         ]
+        if self.head_groups is not None:
+            from ..dense_heads import anchor_head_multi as AHM
+
+            targets = AHM.assign_targets_multi(
+                self.per_class_anchors, self.head_groups, gt_boxes,
+                class_ids, thresholds, self.box_coder,
+            )
+            return AHM.anchor_head_multi_loss(
+                forward_out["head_outs"], self.head_groups,
+                self.head_anchor_counts, targets, self.anchors_flat,
+                self.num_class, dict(head_cfg.LOSS_CONFIG.LOSS_WEIGHTS),
+                self.box_coder.code_size,
+                dir_offset=head_cfg.get("DIR_OFFSET", 0.78539),
+                num_dir_bins=head_cfg.get("NUM_DIR_BINS", 2),
+                separate=head_cfg.get("SEPARATE_MULTIHEAD", False),
+            )
         targets = AH.assign_targets(
             self.per_class_anchors, gt_boxes, class_ids, thresholds,
             self.box_coder,

@@ -80,3 +80,73 @@ def batched_nms_candidates(boxes, scores, labels, valid, nms_cfg,
         "pred_labels": l,
         "pred_counts": c,
     }
+
+
+def batched_multi_classes_nms(cls_scores, boxes, valid, nms_cfg,
+                              score_thresh=None):
+    """Per-class rotated NMS (``multi_classes_nms``,
+    model_nms_utils.py:28-66): each class runs an independent NMS over all
+    boxes with its own score column; no cross-class suppression.
+
+    Fixed-shape form: per-class outputs concatenate along the candidate
+    axis -> (B, num_class * POST) slots with per-class counts folded into
+    one total.
+
+    Args:
+        cls_scores: (B, N, C) sigmoid scores; boxes: (B, N, 7+);
+        valid: (B, N) bool.
+        nms_cfg.NMS_THRESH may be a scalar or a per-class list.
+    Returns dict:
+        pred_boxes (B, C*POST, 7+), pred_scores, pred_labels, pred_counts.
+    """
+    from ...utils.easydict import EasyDict
+
+    C = cls_scores.shape[-1]
+    thresh = nms_cfg.NMS_THRESH
+    threshes = (
+        [float(t) for t in thresh]
+        if isinstance(thresh, (list, tuple))
+        else [float(thresh)] * C
+    )
+    outs = []
+    for k in range(C):
+        cfg_k = EasyDict({
+            "NMS_THRESH": threshes[k],
+            "NMS_PRE_MAXSIZE": nms_cfg.NMS_PRE_MAXSIZE,
+            "NMS_POST_MAXSIZE": nms_cfg.NMS_POST_MAXSIZE,
+        })
+        labels_k = jnp.full(cls_scores.shape[:2], k + 1, jnp.int32)
+        outs.append(
+            batched_nms_candidates(
+                boxes, cls_scores[..., k], labels_k, valid, cfg_k,
+                score_thresh=score_thresh,
+            )
+        )
+    post = min(int(nms_cfg.NMS_POST_MAXSIZE), boxes.shape[1])
+    slot = jnp.arange(post, dtype=jnp.int32)
+    cat_boxes = jnp.concatenate([o["pred_boxes"] for o in outs], 1)
+    cat_scores = jnp.concatenate([o["pred_scores"] for o in outs], 1)
+    cat_labels = jnp.concatenate([o["pred_labels"] for o in outs], 1)
+    cat_valid = jnp.concatenate(
+        [slot[None, :] < o["pred_counts"][:, None] for o in outs], 1
+    )
+
+    # compact the per-class segments into leading slots (the eval driver
+    # slices [:count])
+    def compact(v, bx, sc, lb):
+        n = v.shape[0]
+        rank = jnp.cumsum(v) - 1
+        src = jnp.where(v, rank, n)
+        out_b = jnp.zeros_like(bx).at[src].set(bx, mode="drop")
+        out_s = jnp.zeros_like(sc).at[src].set(sc, mode="drop")
+        out_l = jnp.zeros_like(lb).at[src].set(lb, mode="drop")
+        return out_b, out_s, out_l, jnp.sum(v).astype(jnp.int32)
+
+    b, s, l, c = jax.vmap(compact)(cat_valid, cat_boxes, cat_scores,
+                                   cat_labels)
+    return {
+        "pred_boxes": b,
+        "pred_scores": s,
+        "pred_labels": l,
+        "pred_counts": c,
+    }

@@ -24,14 +24,18 @@ import optax
 from ..parallel import batch_sharding, make_data_mesh, replicate, shard_batch
 
 
-def select_device_batch(batch):
+def select_device_batch(batch, model=None):
     """Keys that go to the device, by model family: voxel models consume
     the voxel triplet (ragged padded 'points' would retrigger compilation
-    every step), point models the fixed-budget points."""
-    if "voxels" in batch:
-        keys = ("voxels", "voxel_coords", "voxel_num_points", "gt_boxes")
-    else:
-        keys = ("points", "gt_boxes")
+    every step), point models the fixed-budget points.  Detectors that
+    need a custom set (e.g. PV-RCNN: voxels AND static-budget points)
+    declare ``DEVICE_BATCH_KEYS``."""
+    keys = getattr(model, "DEVICE_BATCH_KEYS", None)
+    if keys is None:
+        if "voxels" in batch:
+            keys = ("voxels", "voxel_coords", "voxel_num_points", "gt_boxes")
+        else:
+            keys = ("points", "gt_boxes")
     return {k: batch[k] for k in keys if k in batch}
 
 
@@ -202,7 +206,7 @@ def train_model(
         end = time.time()
         for batch in train_loader:
             data_time = time.time() - end
-            dev_batch = shard_batch(mesh, select_device_batch(batch))
+            dev_batch = shard_batch(mesh, select_device_batch(batch, model))
             state, loss, tb = train_step(state, dev_batch)
             # do NOT materialize loss every step — float(loss) blocks the
             # host on the device and serializes input prep with compute;
