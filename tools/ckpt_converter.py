@@ -202,8 +202,16 @@ def convert_checkpoint(state_dict, model_cfg, num_class=3, input_channels=4):
         if sa_cfg.LAYER_TYPE[k] == "SA_Layer":
             mlps = [[channel_in] + list(m) for m in sa_cfg.MLPS[k]]
             channel_out = sum(m[-1] for m in mlps) if mlps else 0
-            agg = list(sa_cfg.AGGREGATION_MLPS[k]) if sa_cfg.AGGREGATION_MLPS[k] else None
-            conf = list(sa_cfg.CONFIDENCE_MLPS[k]) if sa_cfg.CONFIDENCE_MLPS[k] else None
+            # the reference only builds aggregation/confidence layers when
+            # the SA layer has grouping MLPs (pointnet2_modules.py:1470-1487)
+            agg = (
+                list(sa_cfg.AGGREGATION_MLPS[k])
+                if sa_cfg.AGGREGATION_MLPS[k] and sa_cfg.MLPS[k] else None
+            )
+            conf = (
+                list(sa_cfg.CONFIDENCE_MLPS[k])
+                if sa_cfg.CONFIDENCE_MLPS[k] and sa_cfg.MLPS[k] else None
+            )
             if agg:
                 channel_out = agg[-1]
             if k < 1 or k > 4:

@@ -177,6 +177,52 @@ def main():
         logger.info("profiler trace written to %s" % (output_dir / "profile"))
     logger.info("**********************End training**********************")
 
+    # post-train repeat-eval of the last num_epochs_to_eval checkpoints
+    # (reference train.py:191-208)
+    if args.num_epochs_to_eval > 0:
+        import glob
+        import re
+
+        from pdanet_tpu.eval import eval_one_epoch
+        from pdanet_tpu.train import load_checkpoint
+
+        logger.info("**********************Start evaluation**********************")
+        test_set, test_loader, _ = build_dataloader(
+            dataset_cfg=cfg.DATA_CONFIG,
+            class_names=cfg.CLASS_NAMES,
+            batch_size=batch_size,
+            training=False,
+            logger=logger,
+            workers=args.workers,
+        )
+        eval_model = build_network(
+            cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
+        )
+        eval_output_dir = output_dir / "eval" / "eval_with_train"
+        eval_output_dir.mkdir(parents=True, exist_ok=True)
+        start_eval_epoch = max(epochs - args.num_epochs_to_eval, 0)
+        for ck_path in sorted(glob.glob(str(ckpt_dir / "checkpoint_epoch_*.pkl"))):
+            m = re.findall(r"checkpoint_epoch_(\d+)\.pkl", ck_path)
+            if not m or int(m[-1]) <= start_eval_epoch:
+                continue
+            epoch_id = m[-1]
+            ck = load_checkpoint(ck_path)
+            ms = ck["model_state"]
+            variables = jax.tree.map(
+                np.asarray,
+                {"params": ms["params"], "batch_stats": ms["batch_stats"]},
+            )
+            cur_result_dir = (
+                eval_output_dir / ("epoch_%s" % epoch_id)
+                / cfg.DATA_CONFIG.DATA_SPLIT["test"]
+            )
+            eval_one_epoch(
+                cfg, eval_model, variables, test_loader, epoch_id, logger,
+                result_dir=cur_result_dir,
+            )
+            logger.info("Epoch %s has been evaluated" % epoch_id)
+        logger.info("**********************End evaluation**********************")
+
 
 if __name__ == "__main__":
     main()
