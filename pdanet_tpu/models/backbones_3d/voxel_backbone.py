@@ -72,7 +72,12 @@ class VoxelBackBone8x(nn.Module):
         widths = list(cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64]))
         c_out = int(cfg.get("NUM_OUTPUT_FEATURES", 128))
 
-        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        # voxel_coords None => voxel_features is already the dense grid
+        # (dynamic VFEs scatter on-device)
+        if voxel_coords is None:
+            x = voxel_features
+        else:
+            x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(widths[0], name="conv_input")(x, train)
         x1 = Conv3DBNReLU(widths[1], name="conv1")(x, train)
         x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down")(
@@ -137,7 +142,10 @@ class VoxelResBackBone8x(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train=False):
-        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        if voxel_coords is None:  # dynamic VFE: pre-scattered dense grid
+            x = voxel_features
+        else:
+            x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(16, name="conv_input")(x, train)
         x1 = ResBlock3D(16, name="res1_b")(
             ResBlock3D(16, name="res1_a")(x, train), train)

@@ -95,7 +95,10 @@ class UNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train=False):
-        x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
+        if voxel_coords is None:  # dynamic VFE: pre-scattered dense grid
+            x = voxel_features
+        else:
+            x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(16, name="conv_input")(x, train)
         x1 = Conv3DBNReLU(16, name="conv1")(x, train)
         x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(x1, train)

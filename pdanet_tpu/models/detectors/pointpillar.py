@@ -28,16 +28,40 @@ class PointPillar(nn.Module):
     point_cloud_range: Any = None
     class_names: Any = None
 
+    @property
+    def DEVICE_BATCH_KEYS(self):
+        """DynamicPillarVFE consumes the raw cloud instead of the pillar
+        triplet (resolved from the config — flax setup state is not
+        visible outside apply)."""
+        vfe = dict(self.model_cfg.get("VFE", {}) or {})
+        if vfe.get("NAME", "PillarVFE").startswith("Dynamic"):
+            return ("points", "gt_boxes")
+        return ("voxels", "voxel_coords", "voxel_num_points", "gt_boxes")
+
     def setup(self):
         cfg = EasyDict(self.model_cfg)
         object.__setattr__(self, "cfg", cfg)
-        self.vfe = PillarVFE(
-            model_cfg=cfg.VFE,
-            num_point_features=self.input_channels,
-            voxel_size=self.voxel_size,
-            point_cloud_range=self.point_cloud_range,
-            name="vfe",
-        )
+        dynamic = cfg.VFE.get("NAME", "PillarVFE") == "DynamicPillarVFE"
+        object.__setattr__(self, "dynamic_vfe", dynamic)
+        if dynamic:
+            from ..backbones_3d.vfe.dynamic_pillar_vfe import DynamicPillarVFE
+
+            self.vfe = DynamicPillarVFE(
+                model_cfg=cfg.VFE,
+                num_point_features=self.input_channels,
+                grid_size=self.grid_size,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                name="vfe",
+            )
+        else:
+            self.vfe = PillarVFE(
+                model_cfg=cfg.VFE,
+                num_point_features=self.input_channels,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                name="vfe",
+            )
         self.backbone_2d = BaseBEVBackbone(
             model_cfg=cfg.BACKBONE_2D,
             input_channels=cfg.MAP_TO_BEV.NUM_BEV_FEATURES,
@@ -70,13 +94,18 @@ class PointPillar(nn.Module):
         )
 
     def __call__(self, voxels, voxel_coords, voxel_num_points, train=False):
-        pillar_features = self.vfe(
-            voxels, voxel_coords, voxel_num_points, train=train
-        )
-        spatial = pointpillar_scatter(
-            pillar_features, voxel_coords, self.grid_size,
-            self.cfg.MAP_TO_BEV.NUM_BEV_FEATURES,
-        )
+        if self.dynamic_vfe:
+            # 'voxels' carries the raw cloud; the VFE scatters the BEV
+            # canvas on-device (no pillar triplet, no per-pillar cap)
+            spatial = self.vfe(voxels, train=train)
+        else:
+            pillar_features = self.vfe(
+                voxels, voxel_coords, voxel_num_points, train=train
+            )
+            spatial = pointpillar_scatter(
+                pillar_features, voxel_coords, self.grid_size,
+                self.cfg.MAP_TO_BEV.NUM_BEV_FEATURES,
+            )
         stride = self.cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG[0].get(
             "feature_map_stride", 2
         )
@@ -126,6 +155,8 @@ class PointPillar(nn.Module):
     # --- detector-agnostic batch interface (train/eval runtimes) ---
 
     def forward_batch(self, batch, train=False):
+        if self.dynamic_vfe:
+            return self(batch["points"], None, None, train=train)
         return self(
             batch["voxels"], batch["voxel_coords"], batch["voxel_num_points"],
             train=train,

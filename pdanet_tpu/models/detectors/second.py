@@ -16,6 +16,7 @@ from ...utils.easydict import EasyDict
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.voxel_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
 from ..backbones_3d.voxel_unet import UNetV2
 from ..dense_heads import anchor_head as AH
 
@@ -25,6 +26,7 @@ _BACKBONES_3D = {
     "VoxelBackBone8x": VoxelBackBone8x,
     "VoxelResBackBone8x": VoxelResBackBone8x,
     "UNetV2": UNetV2,
+    "SparseVoxelBackBone8x": SparseVoxelBackBone8x,
 }
 
 
@@ -37,14 +39,39 @@ class SECOND(nn.Module):
     point_cloud_range: Any = None
     class_names: Any = None
 
+    @property
+    def DEVICE_BATCH_KEYS(self):
+        """Dynamic VFEs consume the raw fixed-budget cloud instead of the
+        voxel triplet (resolved from the config — flax setup state is not
+        visible outside apply)."""
+        vfe = dict(self.model_cfg.get("VFE", {}) or {})
+        if vfe.get("NAME", "MeanVFE").startswith("Dynamic"):
+            return ("points", "gt_boxes")
+        return ("voxels", "voxel_coords", "voxel_num_points", "gt_boxes")
+
     def setup(self):
         cfg = EasyDict(self.model_cfg)
         object.__setattr__(self, "cfg", cfg)
-        self.vfe = MeanVFE(
-            model_cfg=cfg.get("VFE", {}),
-            num_point_features=self.input_channels,
-            name="vfe",
-        )
+        vfe_cfg = cfg.get("VFE", {})
+        vfe_name = vfe_cfg.get("NAME", "MeanVFE") if vfe_cfg else "MeanVFE"
+        object.__setattr__(self, "dynamic_vfe", vfe_name == "DynamicMeanVFE")
+        if self.dynamic_vfe:
+            from ..backbones_3d.vfe.dynamic_mean_vfe import DynamicMeanVFE
+
+            self.vfe = DynamicMeanVFE(
+                model_cfg=vfe_cfg,
+                num_point_features=self.input_channels,
+                grid_size=self.grid_size,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                name="vfe",
+            )
+        else:
+            self.vfe = MeanVFE(
+                model_cfg=vfe_cfg,
+                num_point_features=self.input_channels,
+                name="vfe",
+            )
         b3d_cfg = cfg.get("BACKBONE_3D", {})
         self.backbone_3d = _BACKBONES_3D[b3d_cfg.get("NAME", "VoxelBackBone8x")](
             model_cfg=b3d_cfg,
@@ -105,7 +132,13 @@ class SECOND(nn.Module):
             )
 
     def __call__(self, voxels, voxel_coords, voxel_num_points, train=False):
-        voxel_features = self.vfe(voxels, voxel_num_points, train=train)
+        if self.dynamic_vfe:
+            # 'voxels' carries the raw (B, N, 3+C) cloud; the VFE scatters
+            # the dense grid on-device (voxel_coords/num_points unused)
+            dense_grid = self.vfe(voxels, train=train)
+            voxel_features, voxel_coords = dense_grid, None
+        else:
+            voxel_features = self.vfe(voxels, voxel_num_points, train=train)
         spatial, multi_scale = self.backbone_3d(
             voxel_features, voxel_coords, train=train
         )
@@ -187,6 +220,8 @@ class SECOND(nn.Module):
     # --- detector-agnostic batch interface (train/eval runtimes) ---
 
     def forward_batch(self, batch, train=False):
+        if self.dynamic_vfe:
+            return self(batch["points"], None, None, train=train)
         return self(
             batch["voxels"], batch["voxel_coords"], batch["voxel_num_points"],
             train=train,
