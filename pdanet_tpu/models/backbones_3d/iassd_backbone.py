@@ -149,6 +149,7 @@ class SAModuleWithSampling(nn.Module):
     aggregation_mlp: Optional[Sequence[int]]
     confidence_mlp: Optional[Sequence[int]]
     num_class: int
+    compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
 
     @nn.compact
     def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
@@ -178,22 +179,29 @@ class SAModuleWithSampling(nn.Module):
                 grouped = jnp.concatenate(
                     [grouped_xyz, group_points(features, idx)], axis=-1
                 )
-                h = MLPStack(tuple(self.mlps[i][1:]), name=f"mlps_{i}")(grouped, train)
+                h = MLPStack(
+                    tuple(self.mlps[i][1:]), dtype=self.compute_dtype,
+                    name=f"mlps_{i}",
+                )(grouped, train)
                 scale_feats.append(jnp.max(h, axis=2))  # maxpool over K
             new_features = jnp.concatenate(scale_feats, axis=-1)
             if self.aggregation_mlp:
                 new_features = MLPStack(
-                    tuple(self.aggregation_mlp), name="aggregation_layer"
+                    tuple(self.aggregation_mlp), dtype=self.compute_dtype,
+                    name="aggregation_layer"
                 )(new_features, train)
+            new_features = new_features.astype(jnp.float32)
         else:
             new_features = gather_points(features, sampled_idx)
 
         cls_preds = None
         if self.confidence_mlp:
-            h = MLPStack(tuple(self.confidence_mlp), name="confidence_mlp")(
-                new_features, train
-            )
+            h = MLPStack(
+                tuple(self.confidence_mlp), dtype=self.compute_dtype,
+                name="confidence_mlp",
+            )(new_features, train)
             cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
+            cls_preds = cls_preds.astype(jnp.float32)
         return new_xyz, new_features, cls_preds, sampled_idx
 
 
@@ -218,6 +226,7 @@ class SAModuleEllipsoid(nn.Module):
     aggregation_mlp: Optional[Sequence[int]]
     confidence_mlp: Optional[Sequence[int]]
     num_class: int
+    compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
 
     @nn.compact
     def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
@@ -266,9 +275,15 @@ class SAModuleEllipsoid(nn.Module):
                     [centers_k, grouped_xyz, centers_k - grouped_xyz, direction],
                     axis=-1,
                 )
-                rppe = MLPStack((d // 2, d), name=f"position_mlp_{i}")(rppe, train)
+                rppe = MLPStack(
+                    (d // 2, d), dtype=self.compute_dtype,
+                    name=f"position_mlp_{i}",
+                )(rppe, train)
                 # (c) global branch, broadcast over K (:787)
-                g = MLPStack((d, d), name=f"global_mlps_{i}")(global_input, train)
+                g = MLPStack(
+                    (d, d), dtype=self.compute_dtype,
+                    name=f"global_mlps_{i}",
+                )(global_input, train)
                 g_k = jnp.broadcast_to(g[:, :, None, :], rppe.shape[:3] + (d,))
                 # fuse: (B, M, K, 4d) -> transformer over K -> maxpool -> fin_conv
                 fused = jnp.concatenate([rppe, feat_density, grouped_feats, g_k], axis=-1)
@@ -276,27 +291,33 @@ class SAModuleEllipsoid(nn.Module):
                     d_model=4 * d,
                     nhead=4,
                     dim_feedforward=2 * d,
+                    dtype=self.compute_dtype,
                     name=f"Local_pointformer_{i}",
                 )(fused, train)
                 pooled = jnp.max(fused, axis=2)  # (B, M, 4d)
-                out = MLPStack((2 * d, self.mlps[i][-1]), name=f"fin_conv_{i}")(
-                    pooled, train
-                )
+                out = MLPStack(
+                    (2 * d, self.mlps[i][-1]), dtype=self.compute_dtype,
+                    name=f"fin_conv_{i}",
+                )(pooled, train)
                 scale_feats.append(out)
             new_features = jnp.concatenate(scale_feats, axis=-1)
             if self.aggregation_mlp:
                 new_features = MLPStack(
-                    tuple(self.aggregation_mlp), name="aggregation_layer"
+                    tuple(self.aggregation_mlp), dtype=self.compute_dtype,
+                    name="aggregation_layer"
                 )(new_features, train)
+            new_features = new_features.astype(jnp.float32)
         else:
             new_features = gather_points(features, sampled_idx)
 
         cls_preds = None
         if self.confidence_mlp:
-            h = MLPStack(tuple(self.confidence_mlp), name="confidence_mlp")(
-                new_features, train
-            )
+            h = MLPStack(
+                tuple(self.confidence_mlp), dtype=self.compute_dtype,
+                name="confidence_mlp",
+            )(new_features, train)
             cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
+            cls_preds = cls_preds.astype(jnp.float32)
         return new_xyz, new_features, cls_preds, sampled_idx
 
 
@@ -347,6 +368,14 @@ class IASSDBackbone(nn.Module):
         self.layer_inputs = sa_cfg.LAYER_INPUT
         aggregation_mlps = sa_cfg.get("AGGREGATION_MLPS", None)
         confidence_mlps = sa_cfg.get("CONFIDENCE_MLPS", None)
+        # optional eval-only bf16 compute for the MLP/transformer stacks
+        # (params stay f32; training always runs f32 — blocks._infer_dtype)
+        compute_dtype = (
+            jnp.bfloat16
+            if str(EasyDict(self.model_cfg).get("COMPUTE_DTYPE", ""))
+            in ("bfloat16", "bf16")
+            else None
+        )
         max_translate = sa_cfg.get("MAX_TRANSLATE_RANGE", None)
 
         channel_in = self.input_channels - 3
@@ -389,6 +418,7 @@ class IASSDBackbone(nn.Module):
                         aggregation_mlp=tuple(aggregation_mlp) if aggregation_mlp else None,
                         confidence_mlp=tuple(confidence_mlp) if confidence_mlp else None,
                         num_class=self.num_class,
+                        compute_dtype=compute_dtype,
                         name=f"SA_modules_{k}",
                     )
                 )

@@ -14,10 +14,17 @@ Parity notes:
   including its quirk: the residual is added to the *normalized* input.
 """
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+
+def _infer_dtype(dtype, train):
+    """Inference-only compute dtype: training always runs f32 (reference
+    numerics); eval may drop to bf16 — params stay f32, the matmuls run
+    on the MXU's bf16 path."""
+    return None if train else dtype
 
 
 class DenseBNReLU(nn.Module):
@@ -25,12 +32,17 @@ class DenseBNReLU(nn.Module):
 
     features: int
     use_bias: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, use_bias=self.use_bias, name="dense")(x)
+        dt = _infer_dtype(self.dtype, train)
+        x = nn.Dense(
+            self.features, use_bias=self.use_bias, dtype=dt, name="dense"
+        )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="bn",
         )(x)
         return nn.relu(x)
 
@@ -39,11 +51,12 @@ class MLPStack(nn.Module):
     """A stack of Dense+BN+ReLU layers (reference shared_mlps pattern)."""
 
     features: Sequence[int]
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i, f in enumerate(self.features):
-            x = DenseBNReLU(f, name=f"layer{i}")(x, train)
+            x = DenseBNReLU(f, dtype=self.dtype, name=f"layer{i}")(x, train)
         return x
 
 
@@ -83,21 +96,24 @@ class TransformerEncoderLayerPreNorm(nn.Module):
     d_model: int
     nhead: int
     dim_feedforward: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = _infer_dtype(self.dtype, train)
         # x: (B, M, K, D)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(x)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
             out_features=self.d_model,
             use_bias=True,
+            dtype=dt,
             name="self_attn",
         )(x, x)
         x = x + attn
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(x)
+        h = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(x)
         h = nn.relu(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=dt, name="linear2")(h)
         return x + h

@@ -268,3 +268,40 @@ def test_pointnet2_backbone_forward():
     assert out["point_features"].shape == (2, 256, 32)
     assert out["point_coords"].shape == (2, 256, 3)
     assert np.all(np.isfinite(np.asarray(out["point_features"])))
+
+
+def test_bf16_eval_compute_close_to_f32():
+    """COMPUTE_DTYPE: bfloat16 only changes eval matmul precision —
+    outputs stay close to the f32 path and training is untouched."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from model_cfg import tiny_model_cfg
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    cfg32 = tiny_model_cfg()
+    cfg16 = EasyDict(copy.deepcopy(dict(tiny_model_cfg())))
+    cfg16.BACKBONE_3D.COMPUTE_DTYPE = "bfloat16"
+
+    pts = np.random.RandomState(0).rand(1, 128, 4).astype(np.float32) * 4
+    m32 = build_network(cfg32, num_class=3, input_channels=4)
+    m16 = build_network(cfg16, num_class=3, input_channels=4)
+    v = m32.init(jax.random.PRNGKey(0), pts)
+
+    o32 = m32.apply(v, pts, train=False)
+    o16 = m16.apply(v, pts, train=False)  # same params, bf16 compute
+    a, b = np.asarray(o32["batch_box_preds"]), np.asarray(o16["batch_box_preds"])
+    assert np.isfinite(b).all()
+    # centers/sizes agree to bf16 tolerance
+    assert np.median(np.abs(a - b)) < 0.1, np.median(np.abs(a - b))
+
+    # training path is bit-identical (dtype only applies at eval)
+    t32, _ = m32.apply(v, pts, train=True, mutable=["batch_stats"])
+    t16, _ = m16.apply(v, pts, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(
+        np.asarray(t32["batch_box_preds"]), np.asarray(t16["batch_box_preds"])
+    )
