@@ -1,0 +1,158 @@
+"""Gather-matmul sparse 3D convolution — the TPU-native counterpart of
+spconv's submanifold / strided sparse convs
+(``pcdet/models/backbones_3d/spconv_backbone.py`` uses SubMConv3d /
+SparseConv3d; kernels live in the spconv wheel).
+
+Design (fixed budgets, no host rulebooks):
+
+* Active sites are the (B, V, 3) zyx coord lists the voxelizer already
+  produces (-1 padded).  Neighbor lookup is a **sorted-key binary
+  search**: flat keys are sorted once per level, each kernel offset
+  resolves with ``searchsorted`` — O(27 V log V) index work, no dense
+  index grid, so full-res 0.05 m KITTI levels (~16k actives in a 92M
+  cell grid) cost kilobytes instead of the 370 MB/frame a dense scatter
+  grid would.
+* The conv itself is ONE MXU contraction per layer: gathered neighbor
+  features (B, V, 27, C) reshape to (B, V, 27*C) and multiply a
+  (27*C, C_out) kernel — exactly the "gather-matmul" formulation.
+* Submanifold convs preserve the active set (spconv SubMConv3d).
+  Strided convs emit the stride lattice sites that CONTAIN an input
+  (MinkowskiEngine semantics; spconv's SparseConv3d additionally
+  dilates by the kernel — a documented divergence that only changes
+  far-border occupancy) with a static per-level budget.
+* BatchNorm over sparse rows is masked: padding rows contribute to
+  neither the statistics nor the running averages.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+INVALID = jnp.int32(2**30)
+
+
+def _flat_key(coords, grid_size):
+    """(..., 3) zyx -> flat scan key; invalid (negative) -> INVALID."""
+    nx, ny, nz = (int(g) for g in grid_size)
+    valid = jnp.all(coords >= 0, axis=-1) & (
+        (coords[..., 0] < nz) & (coords[..., 1] < ny) & (coords[..., 2] < nx)
+    )
+    key = (
+        coords[..., 0] * (ny * nx) + coords[..., 1] * nx + coords[..., 2]
+    )
+    return jnp.where(valid, key, INVALID), valid
+
+
+def _kernel_offsets(kernel=(3, 3, 3)):
+    kz, ky, kx = kernel
+    oz, oy, ox = jnp.meshgrid(
+        jnp.arange(kz) - kz // 2,
+        jnp.arange(ky) - ky // 2,
+        jnp.arange(kx) - kx // 2,
+        indexing="ij",
+    )
+    return jnp.stack(
+        [oz.reshape(-1), oy.reshape(-1), ox.reshape(-1)], axis=-1
+    )  # (K, 3) zyx
+
+
+@partial(jax.jit, static_argnames=("grid_size", "kernel", "stride"))
+def build_neighbor_table(coords, grid_size, kernel=(3, 3, 3),
+                         query_coords=None, stride=(1, 1, 1)):
+    """Per-site neighbor slot indices.
+
+    Args:
+        coords: (B, V, 3) zyx active sites (-1 padded) — the SUPPORT set.
+        query_coords: optional (B, Q, 3) query sites on the OUTPUT
+            lattice; neighbors are looked up at
+            ``query * stride + offset`` (strided conv); defaults to
+            ``coords`` with stride 1 (submanifold).
+    Returns:
+        (B, Q, K) int32 slot indices into the support axis, -1 = absent.
+    """
+    offs = _kernel_offsets(kernel)  # (K, 3)
+    keys, _ = _flat_key(coords, grid_size)  # (B, V)
+    order = jnp.argsort(keys, axis=-1)
+    sorted_keys = jnp.take_along_axis(keys, order, axis=-1)
+
+    if query_coords is None:
+        query_coords = coords
+    q_valid = jnp.all(query_coords >= 0, axis=-1)
+    base = query_coords * jnp.asarray(stride, jnp.int32)
+    nbr = base[:, :, None, :] + offs[None, None]  # (B, Q, K, 3)
+    nbr_keys, nbr_ok = _flat_key(nbr, grid_size)
+
+    V = coords.shape[1]
+
+    def per_frame(skeys, ord_, qk):
+        pos = jnp.searchsorted(skeys, qk.reshape(-1)).clip(0, V - 1)
+        found = skeys[pos] == qk.reshape(-1)
+        slot = jnp.where(found, ord_[pos], -1)
+        return slot.reshape(qk.shape)
+
+    slots = jax.vmap(per_frame)(sorted_keys, order, nbr_keys)
+    return jnp.where(
+        nbr_ok & (nbr_keys != INVALID) & q_valid[:, :, None], slots, -1
+    ).astype(jnp.int32)
+
+
+def gather_matmul_conv(features, nbr_idx, weight):
+    """The sparse conv contraction.
+
+    Args:
+        features: (B, V, C_in) support features (padding rows zero);
+        nbr_idx: (B, Q, K) slots (-1 absent); weight: (K, C_in, C_out).
+    Returns:
+        (B, Q, C_out).
+    """
+    safe = jnp.maximum(nbr_idx, 0)
+    g = jax.vmap(lambda f, i: f[i])(features, safe)  # (B, Q, K, C)
+    g = jnp.where((nbr_idx >= 0)[..., None], g, 0.0)
+    B, Q, K, C = g.shape
+    return jax.lax.dot_general(
+        g.reshape(B, Q, K * C),
+        weight.reshape(K * C, -1),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_budget", "stride"))
+def downsample_coords(coords, out_budget, stride=(2, 2, 2)):
+    """Strided-conv output active set: first `out_budget` UNIQUE
+    ``floor(coords / stride)`` (zyx) sites in scan order (-1 padded).
+
+    Uses sort + neighbor-difference dedup — fixed shapes throughout.
+    """
+    valid = jnp.all(coords >= 0, axis=-1)
+    half = jnp.where(
+        valid[..., None], coords // jnp.asarray(stride, jnp.int32), -1
+    )
+    # order by a flat key on a virtual (2048^2 x 256) grid for dedup —
+    # covers full-res KITTI (1600 x 1408 x 41) pre-halving coords
+    BIG = jnp.int32(1 << 22)
+    key = jnp.where(
+        valid, half[..., 0] * BIG + half[..., 1] * 2048 + half[..., 2],
+        INVALID,
+    )
+    skey = jnp.sort(key, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones_like(skey[:, :1], bool), skey[:, 1:] != skey[:, :-1]],
+        axis=-1,
+    ) & (skey != INVALID)
+
+    def compact(sk, fm):
+        rank = jnp.cumsum(fm) - 1
+        out = jnp.full((out_budget,), INVALID, sk.dtype)
+        src = jnp.where(fm & (rank < out_budget), rank, out_budget)
+        out = out.at[src].set(sk, mode="drop")
+        return out
+
+    ukeys = jax.vmap(compact)(skey, first)  # (B, out_budget)
+    ok = ukeys != INVALID
+    z = jnp.where(ok, ukeys // BIG, -1)
+    rem = ukeys % BIG
+    y = jnp.where(ok, rem // 2048, -1)
+    x = jnp.where(ok, rem % 2048, -1)
+    return jnp.stack([z, y, x], axis=-1).astype(jnp.int32)

@@ -165,3 +165,27 @@ def test_checkpoint_roundtrip(train_setup, tmp_path):
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == 123
+
+
+def test_merge_results_dist_simulated_world3(tmp_path):
+    """Simulated 3-process eval merge: stride-sharded parts interleave
+    back into dataset order and rank>0 returns None
+    (common_utils.py:201-222 semantics)."""
+    from pdanet_tpu.utils.common_utils import merge_results_dist
+
+    size = 8  # dataset length; pad+stride: rank r holds r, r+3, ... with
+    # wrap padding to equal length (the eval DistributedSampler contract,
+    # reference datasets/__init__.py:24-44)
+    padded = [f"s{i}" for i in range(size)] + ["s0"]  # pad to 9 = 3*3
+    parts = {r: [padded[i] for i in range(r, 9, 3)] for r in range(3)}
+    noop = lambda: None
+
+    out = {}
+    # ranks 1, 2 write first; rank 0 merges
+    for r in (1, 2, 0):
+        out[r] = merge_results_dist(
+            parts[r], size, str(tmp_path / "merge"), rank=r, world=3,
+            barrier=noop,
+        )
+    assert out[1] is None and out[2] is None
+    assert out[0] == [f"s{i}" for i in range(size)]
