@@ -106,6 +106,19 @@ def multi_scale_occupancy(voxel_coords, grid_size, strides):
     return out
 
 
+def sparse_to_voxel_list(entry, stride, voxel_size, pc_range):
+    """Sparse-backbone multi-scale entries ARE the voxel list: (coords,
+    feats, valid) zyx tuples -> centers/features with far-sentinel
+    invalid rows (no top_k extraction needed)."""
+    coords, feats, valid = entry
+    vs = jnp.asarray(voxel_size, jnp.float32) * float(stride)
+    origin = jnp.asarray(pc_range[:3], jnp.float32)
+    xyz_idx = coords[..., ::-1].astype(jnp.float32)  # zyx -> xyz
+    centers = (xyz_idx + 0.5) * vs + origin
+    centers = jnp.where(valid[..., None], centers, FAR_SENTINEL)
+    return centers, jnp.where(valid[..., None], feats, 0.0), valid
+
+
 def dense_to_voxel_list(grid, occ, max_voxels, stride, voxel_size, pc_range):
     """Static-budget extraction of non-empty voxels from a dense grid.
 
@@ -326,18 +339,24 @@ class VoxelSetAbstraction(nn.Module):
                 continue
             scfg = EasyDict(cfg.SA_LAYER[src])
             stride = int(scfg.DOWNSAMPLE_FACTOR)
-            centers, vfeats, _ = dense_to_voxel_list(
-                multi_scale[src], occupancy[stride],
-                int(scfg.get("MAX_VOXELS", 8192)), stride,
-                self.voxel_size, self.point_cloud_range,
-            )
+            if isinstance(multi_scale[src], tuple):
+                centers, vfeats, _ = sparse_to_voxel_list(
+                    multi_scale[src], stride, self.voxel_size,
+                    self.point_cloud_range,
+                )
+            else:
+                centers, vfeats, _ = dense_to_voxel_list(
+                    multi_scale[src], occupancy[stride],
+                    int(scfg.get("MAX_VOXELS", 8192)), stride,
+                    self.voxel_size, self.point_cloud_range,
+                )
             if scfg.get("FILTER_NEIGHBOR_WITH_ROI", False) and rois is not None:
                 centers = roi_neighbor_filter(
                     centers, rois, float(scfg.RADIUS_OF_NEIGHBOR_WITH_ROI)
                 )
             feats.append(
                 _make_aggregator(
-                    scfg, int(multi_scale[src].shape[-1]), f"SA_{src}"
+                    scfg, int(vfeats.shape[-1]), f"SA_{src}"
                 )(centers, vfeats, keypoints, train)
             )
 

@@ -99,7 +99,21 @@ class PVRCNN(SECOND):
                 if s not in ("bev", "raw_points")
             }
         )
-        occ = multi_scale_occupancy(voxel_coords, self.grid_size, strides)
+        # occupancy pyramid only feeds DENSE-grid voxel sources; sparse
+        # backbone entries carry their own active sets (and scattering a
+        # full-res bool grid would defeat the sparse formulation)
+        voxel_srcs = [
+            s for s in self.pfe_cfg.FEATURES_SOURCE
+            if s not in ("bev", "raw_points")
+        ]
+        any_dense = any(
+            not isinstance(out["multi_scale_3d_features"][s], tuple)
+            for s in voxel_srcs
+        )
+        occ = (
+            multi_scale_occupancy(voxel_coords, self.grid_size, strides)
+            if any_dense else {}
+        )
         vsa = self.pfe(
             points, out["multi_scale_3d_features"], occ,
             out["spatial_features"], bev_stride=8,

@@ -31,7 +31,7 @@ class VoxelRCNN(SECOND):
         n_cls = 1 if roi_cfg.get("CLASS_AGNOSTIC", True) else self.num_class
         self.roi_head = VoxelRCNNHeadNet(
             model_cfg=roi_cfg, code_size=coder.code_size, num_class=n_cls,
-            name="roi_head",
+            grid_size=self.grid_size, name="roi_head",
         )
 
     def __call__(self, voxels, voxel_coords, voxel_num_points, gt_boxes=None,

@@ -111,6 +111,74 @@ class NeighborGridPool(nn.Module):
         return nn.relu(h)
 
 
+class SparseNeighborGridPool(nn.Module):
+    """Voxel-query aggregation over a SPARSE level — the true
+    ``NeighborVoxelSAModuleMSG`` form (voxel_pool_modules.py:90-127):
+    each RoI grid point queries the 3x3x3 cell window around its own
+    cell via the sorted-key neighbor table; absent cells mask out.
+    Unlocks full-res levels where the dense window gather cannot hold a
+    materialized grid."""
+
+    mlp: Sequence[int]  # (C_in, C_mid, C_out)
+    radius: float
+
+    @nn.compact
+    def __call__(self, entry, stride, query_xyz, voxel_size, pc_range,
+                 grid_size, train=False):
+        """Args:
+            entry: (coords (B,V,3) zyx, feats (B,V,C), valid (B,V));
+            query_xyz: (B, G, 3) global query points;
+            grid_size: base (nx, ny, nz).
+        Returns:
+            (B, G, C_out).
+        """
+        from ...ops.sparse_conv import build_neighbor_table
+
+        coords, feats, valid = entry
+        c_mid, c_out = int(self.mlp[1]), int(self.mlp[2])
+        # feature pre-MLP on the sparse rows (mlps_in)
+        f = nn.Dense(c_mid, use_bias=False, name="mlp_in")(feats)
+        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn_in")(f)
+        f = jnp.where(valid[..., None], f, 0.0)
+
+        vs = jnp.asarray(voxel_size, jnp.float32) * float(stride)
+        origin = jnp.asarray(pc_range[:3], jnp.float32)
+        cell_xyz = jnp.floor((query_xyz - origin) / vs).astype(jnp.int32)
+        cell_zyx = cell_xyz[..., ::-1]
+        # level grid = repeated ceil-halving of the base grid (matches
+        # SparseVoxelBackBone8x's ladder)
+        lvl = [int(g) for g in grid_size]
+        s = int(stride)
+        while s > 1:
+            lvl = [(g + 1) // 2 for g in lvl]
+            s //= 2
+        tab = build_neighbor_table(
+            coords, tuple(lvl), query_coords=cell_zyx
+        )  # (B, G, 27)
+
+        safe = jnp.maximum(tab, 0)
+        gathered = jax.vmap(lambda x, i: x[i])(f, safe)  # (B, G, 27, c_mid)
+        nbr_coords = jax.vmap(lambda c, i: c[i])(coords, safe)
+        centers = (
+            nbr_coords[..., ::-1].astype(jnp.float32) + 0.5
+        ) * vs + origin
+        rel = centers - query_xyz[:, :, None, :]
+        ok = (tab >= 0) & (jnp.sum(rel * rel, axis=-1) < self.radius**2)
+
+        pos = nn.Dense(c_mid, use_bias=False, name="mlp_pos")(rel)
+        pos = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="bn_pos")(pos)
+        h = nn.relu(gathered + pos)
+        h = jnp.where(ok[..., None], h, 0.0)
+        h = jnp.max(h, axis=2)
+
+        h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn_out")(h)
+        return nn.relu(h)
+
+
 class VoxelRCNNHeadNet(nn.Module):
     """Multi-scale RoI grid pooling + refinement FCs
     (voxelrcnn_head.py:105-260)."""
@@ -118,6 +186,7 @@ class VoxelRCNNHeadNet(nn.Module):
     model_cfg: Any
     code_size: int
     num_class: int = 1
+    grid_size: Any = None  # base (nx, ny, nz); needed for sparse levels
 
     @nn.compact
     def __call__(self, multi_scale, strides, rois, voxel_size, pc_range,
@@ -131,13 +200,27 @@ class VoxelRCNNHeadNet(nn.Module):
         feats = []
         for src in pool_cfg.FEATURES_SOURCE:
             lcfg = EasyDict(pool_cfg.POOL_LAYERS[src])
-            mlp = [int(multi_scale[src].shape[-1])] + list(lcfg.MLPS[0])
+            entry = multi_scale[src]
+            if isinstance(entry, tuple):
+                # sparse backbone level: voxel-query via neighbor table
+                mlp = [int(entry[1].shape[-1])] + list(lcfg.MLPS[0])
+                feats.append(
+                    SparseNeighborGridPool(
+                        mlp=tuple(mlp), radius=float(lcfg.POOL_RADIUS[0]),
+                        name=f"pool_{src}",
+                    )(
+                        entry, strides[src], grid_xyz, voxel_size,
+                        pc_range, self.grid_size, train,
+                    )
+                )
+                continue
+            mlp = [int(entry.shape[-1])] + list(lcfg.MLPS[0])
             feats.append(
                 NeighborGridPool(
                     mlp=tuple(mlp), radius=float(lcfg.POOL_RADIUS[0]),
                     name=f"pool_{src}",
                 )(
-                    multi_scale[src], strides[src], grid_xyz, voxel_size,
+                    entry, strides[src], grid_xyz, voxel_size,
                     pc_range, train,
                 )
             )

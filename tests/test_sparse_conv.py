@@ -205,3 +205,103 @@ def test_second_with_sparse_backbone_fullres_grid():
     assert np.isfinite(float(loss)) and float(loss) > 0
     bb = jax.tree_util.tree_leaves(grads["backbone_3d"])
     assert any(float(jnp.abs(g).max()) > 0 for g in bb)
+
+
+def test_voxelrcnn_with_sparse_backbone():
+    """VoxelRCNN's grid pool dispatches to the sparse voxel-query path
+    when the backbone emits (coords, feats, valid) levels."""
+    import copy
+
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    from test_two_stage import _voxel_rcnn_tiny_cfg
+
+    grid = (32, 32, 8)
+    cfg = EasyDict(copy.deepcopy(dict(_voxel_rcnn_tiny_cfg())))
+    cfg.BACKBONE_3D = {
+        "NAME": "SparseVoxelBackBone8x",
+        "NUM_FILTERS": [4, 4, 8, 8, 8],
+        "NUM_OUTPUT_FEATURES": 16,
+    }
+    cfg.MAP_TO_BEV = {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 16}
+    model = build_network(
+        cfg, num_class=2, grid_size=grid, voxel_size=(0.2, 0.2, 0.5),
+        point_cloud_range=(0, -3.2, -3, 6.4, 3.2, 1),
+        class_names=("Car", "Pedestrian"),
+    )
+    rng = np.random.RandomState(4)
+    B, V, P = 1, 64, 5
+    voxels = rng.rand(B, V, P, 4).astype(np.float32)
+    nums = rng.randint(1, P + 1, (B, V)).astype(np.int32)
+    nx, ny, nz = grid
+    cells = rng.permutation(nx * ny * nz)[:V]
+    coords = np.stack(
+        [cells // (ny * nx), (cells // nx) % ny, cells % nx], axis=-1
+    ).astype(np.int32)[None]
+    coords[:, -16:] = -1
+    voxels[:, -16:] = 0
+
+    variables = model.init(jax.random.PRNGKey(0), voxels, coords, nums)
+    out = jax.jit(
+        lambda v, a, b, c: model.apply(v, a, b, c, train=False)
+    )(variables, voxels, coords, nums)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+    gt = np.zeros((1, 1, 8), np.float32)
+    gt[0, 0] = [3.0, 0.5, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+    batch = {
+        "voxels": jnp.asarray(voxels), "voxel_coords": jnp.asarray(coords),
+        "voxel_num_points": jnp.asarray(nums), "gt_boxes": jnp.asarray(gt),
+    }
+
+    def loss_fn(params):
+        def fwd_loss(mdl, b):
+            o = mdl.forward_batch(b, train=True)
+            return mdl.loss_batch(o, b)
+
+        (loss, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, mutable=["batch_stats"], method=fwd_loss,
+            rngs={"proposal": jax.random.PRNGKey(5),
+                  "dropout": jax.random.PRNGKey(6)},
+        )
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    roi = jax.tree_util.tree_leaves(grads["roi_head"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in roi)
+
+
+def test_pvrcnn_with_sparse_backbone():
+    """VSA consumes sparse multi-scale entries directly (no occupancy
+    pyramid, no top-k extraction)."""
+    import copy
+
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    from test_pvrcnn import GRID as G, PC_RANGE, PVRCNN_MODEL_CFG, \
+        VOXEL_SIZE, _make_inputs
+
+    cfg = EasyDict(copy.deepcopy(dict(PVRCNN_MODEL_CFG)))
+    cfg.BACKBONE_3D = {
+        "NAME": "SparseVoxelBackBone8x",
+        "NUM_FILTERS": [4, 4, 8, 8, 8],
+        "NUM_OUTPUT_FEATURES": 16,
+    }
+    cfg.MAP_TO_BEV = {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 16}
+    model = build_network(
+        cfg, num_class=2, grid_size=G, voxel_size=VOXEL_SIZE,
+        point_cloud_range=PC_RANGE, class_names=("Car", "Pedestrian"),
+    )
+    voxels, coords, nums, points = _make_inputs(seed=11)
+    variables = model.init(
+        jax.random.PRNGKey(0), voxels, coords, nums, points
+    )
+    out = jax.jit(
+        lambda v, a, b, c, p: model.apply(v, a, b, c, p, train=False)
+    )(variables, voxels, coords, nums, points)
+    assert out["point_features"].shape == (1, 32, 32)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
