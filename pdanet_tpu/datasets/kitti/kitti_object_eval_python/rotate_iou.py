@@ -71,6 +71,11 @@ def rotate_overlap(boxes, qboxes):
     N, K = len(boxes), len(qboxes)
     if N == 0 or K == 0:
         return np.zeros((N, K), dtype=np.float32)
+    from pdanet_tpu.native import rotated_overlap as native_overlap
+
+    native = native_overlap(boxes, qboxes)
+    if native is not None:
+        return native.astype(np.float32)
     ca = _corners(boxes.astype(np.float64))[:, None]  # (N, 1, 4, 2)
     cb = _corners(qboxes.astype(np.float64))[None, :]  # (1, K, 4, 2)
 

@@ -158,6 +158,19 @@ class DataProcessor:
         max_voxels = int(config.MAX_NUMBER_OF_VOXELS[self.mode])
         pcr = self.point_cloud_range
 
+        from ...native import voxelize as native_voxelize
+
+        native = native_voxelize(
+            points, pcr, voxel_size, self.grid_size, max_pts, max_voxels
+        )
+        if native is not None:
+            voxels, voxel_coords, voxel_num_points = native
+            data_dict["voxels"] = voxels
+            data_dict["voxel_coords"] = voxel_coords
+            data_dict["voxel_num_points"] = voxel_num_points
+            data_dict["max_number_of_voxels"] = max_voxels
+            return data_dict
+
         coords = np.floor(
             (points[:, 0:3] - pcr[0:3]) / voxel_size
         ).astype(np.int64)

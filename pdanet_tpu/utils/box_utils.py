@@ -69,6 +69,12 @@ def points_in_boxes_cpu(points, boxes):
     Same geometry as roiaware_pool3d points_in_boxes_cpu
     (roiaware_pool3d_kernel.cu:23-36 / .cpp).
     """
+    if len(points) and len(boxes):
+        from ..native import points_in_boxes as native_pib
+
+        native = native_pib(np.asarray(points), np.asarray(boxes))
+        if native is not None:
+            return native
     d = points[None, :, :] - boxes[:, None, 0:3]  # (M, N, 3)
     cosa = np.cos(boxes[:, 6])[:, None]
     sina = np.sin(boxes[:, 6])[:, None]

@@ -11,8 +11,11 @@ import numpy as np
 def _box_corners_bev(boxes):
     """(N, 7) -> (N, 4, 2) BEV corners (counter-clockwise)."""
     dx2, dy2 = boxes[:, 3] / 2.0, boxes[:, 4] / 2.0
+    # counter-clockwise winding: the Sutherland-Hodgman inside-test below
+    # keeps the left side of each directed clip edge, so clockwise corners
+    # would clip every polygon to empty (IoU silently 0 for all pairs).
     template = np.array(
-        [[1, 1], [1, -1], [-1, -1], [-1, 1]], dtype=np.float32
+        [[1, 1], [-1, 1], [-1, -1], [1, -1]], dtype=np.float32
     )  # x,y signs
     local = np.stack([template[:, 0][None] * dx2[:, None],
                       template[:, 1][None] * dy2[:, None]], axis=-1)  # (N,4,2)
@@ -72,6 +75,16 @@ def _polygon_area(poly):
 
 def boxes_bev_overlap_cpu(boxes_a, boxes_b):
     """(N, 7) x (M, 7) -> (N, M) rotated BEV intersection areas."""
+    boxes_a = np.asarray(boxes_a)
+    boxes_b = np.asarray(boxes_b)
+    if len(boxes_a) and len(boxes_b):
+        from ..native import rotated_overlap
+
+        native = rotated_overlap(
+            boxes_a[:, [0, 1, 3, 4, 6]], boxes_b[:, [0, 1, 3, 4, 6]]
+        )
+        if native is not None:
+            return native.astype(np.float32)
     ca = _box_corners_bev(np.asarray(boxes_a, dtype=np.float64))
     cb = _box_corners_bev(np.asarray(boxes_b, dtype=np.float64))
     out = np.zeros((len(boxes_a), len(boxes_b)), dtype=np.float32)
