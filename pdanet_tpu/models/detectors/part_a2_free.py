@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ...utils.box_coder_utils import build_box_coder
 from ...utils.easydict import EasyDict
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
+from ..backbones_3d.sparse_unet import SparseUNetV2
 from ..backbones_3d.voxel_unet import UNetV2
 from ..dense_heads import point_head_box as PHB
 from ..dense_heads.point_intra_part_head import (
@@ -41,8 +42,14 @@ class PartA2Free(nn.Module):
             num_point_features=self.input_channels,
             name="vfe",
         )
-        self.backbone_3d = UNetV2(
-            model_cfg=cfg.get("BACKBONE_3D", {}),
+        b3d_cfg = cfg.get("BACKBONE_3D", {})
+        unet_cls = (
+            SparseUNetV2
+            if b3d_cfg.get("NAME", "UNetV2") == "SparseUNetV2"
+            else UNetV2
+        )
+        self.backbone_3d = unet_cls(
+            model_cfg=b3d_cfg,
             input_channels=self.input_channels,
             grid_size=self.grid_size,
             name="backbone_3d",

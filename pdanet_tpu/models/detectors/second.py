@@ -17,6 +17,7 @@ from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.voxel_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
+from ..backbones_3d.sparse_unet import SparseUNetV2
 from ..backbones_3d.voxel_unet import UNetV2
 from ..dense_heads import anchor_head as AH
 
@@ -27,6 +28,7 @@ _BACKBONES_3D = {
     "VoxelResBackBone8x": VoxelResBackBone8x,
     "UNetV2": UNetV2,
     "SparseVoxelBackBone8x": SparseVoxelBackBone8x,
+    "SparseUNetV2": SparseUNetV2,
 }
 
 

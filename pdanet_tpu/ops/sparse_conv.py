@@ -118,6 +118,50 @@ def gather_matmul_conv(features, nbr_idx, weight):
     )
 
 
+@partial(jax.jit, static_argnames=("grid_size", "kernel", "stride"))
+def build_inverse_neighbor_table(coords, grid_size, query_coords,
+                                 kernel=(3, 3, 3), stride=(2, 2, 2)):
+    """Transposed (inverse) conv table — spconv SparseInverseConv3d.
+
+    For each FINE-lattice query site ``q`` (the pre-downsample active set
+    the forward strided conv consumed), find the COARSE support slots
+    ``d`` whose forward footprint covered it: ``d * stride + off == q``,
+    i.e. ``d = (q - off) / stride`` where the division is exact.
+
+    Args:
+        coords: (B, V, 3) zyx coarse support sites (-1 padded), in
+            COARSE-lattice units; ``grid_size`` is the coarse grid.
+        query_coords: (B, Q, 3) zyx fine-lattice output sites (-1 padded).
+    Returns:
+        (B, Q, K) int32 slots into the coarse support axis, -1 = absent.
+    """
+    offs = _kernel_offsets(kernel)  # (K, 3)
+    keys, _ = _flat_key(coords, grid_size)
+    order = jnp.argsort(keys, axis=-1)
+    sorted_keys = jnp.take_along_axis(keys, order, axis=-1)
+
+    q_valid = jnp.all(query_coords >= 0, axis=-1)
+    st = jnp.asarray(stride, jnp.int32)
+    t = query_coords[:, :, None, :] - offs[None, None]  # (B, Q, K, 3)
+    # jnp.mod is non-negative for a positive divisor, so negative t
+    # (off-lattice) fails the exactness test without a separate sign check
+    exact = jnp.all(t % st == 0, axis=-1)
+    d = t // st
+    nbr_keys, nbr_ok = _flat_key(d, grid_size)
+
+    V = coords.shape[1]
+
+    def per_frame(skeys, ord_, qk):
+        pos = jnp.searchsorted(skeys, qk.reshape(-1)).clip(0, V - 1)
+        found = skeys[pos] == qk.reshape(-1)
+        slot = jnp.where(found, ord_[pos], -1)
+        return slot.reshape(qk.shape)
+
+    slots = jax.vmap(per_frame)(sorted_keys, order, nbr_keys)
+    keep = exact & nbr_ok & (nbr_keys != INVALID) & q_valid[:, :, None]
+    return jnp.where(keep, slots, -1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("out_budget", "stride"))
 def downsample_coords(coords, out_budget, stride=(2, 2, 2)):
     """Strided-conv output active set: first `out_budget` UNIQUE
