@@ -29,10 +29,9 @@ import jax.numpy as jnp
 from ...ops.ball_query import ball_query, ball_query_multi
 from ...ops.grouping import gather_points, group_points
 from ...ops.sampling import (
-    calc_square_dist,
     ds_fps,
     farthest_point_sample,
-    farthest_point_sample_with_dist,
+    farthest_point_sample_features,
     ry_fps,
 )
 from ..blocks import DenseBNReLU, DensityNet, MLPStack, TransformerEncoderLayerPreNorm
@@ -64,12 +63,10 @@ def sample_indices(
         return farthest_point_sample(xyz, npoint)
     if "F-FPS" in sample_type or "FFS" in sample_type:
         feats_ssd = jnp.concatenate([xyz, features], axis=-1)
-        dist = calc_square_dist(feats_ssd, feats_ssd)
-        return farthest_point_sample_with_dist(dist, npoint)
+        return farthest_point_sample_features(feats_ssd, npoint)
     if sample_type == "FS":
         feats_ssd = jnp.concatenate([xyz, features], axis=-1)
-        dist = calc_square_dist(feats_ssd, feats_ssd)
-        idx1 = farthest_point_sample_with_dist(dist, npoint)
+        idx1 = farthest_point_sample_features(feats_ssd, npoint)
         idx2 = farthest_point_sample(xyz, npoint)
         return jnp.concatenate([idx1, idx2], axis=-1)
     if sample_type in ("ds_FPS", "ds-FPS"):

@@ -28,6 +28,7 @@ from .sampling import (  # noqa: F401
     calc_square_dist,
     ds_fps,
     farthest_point_sample,
+    farthest_point_sample_features,
     farthest_point_sample_with_dist,
     ry_fps,
 )

@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _BIG = 1e10  # python literal: jnp constants would be captured by the kernel
 
+# Tried and rejected (same outputs, no speedup -- the kernel is bound by
+# the per-step argmax dependency chain, not by pass count or loop
+# overhead): dynamic-sublane coordinate fetch instead of field-masked
+# sums, a (1, 128) row output buffer instead of the masked (P, 128)
+# rewrite, and manual loop unrolling (Mosaic lowers fori_loop only at
+# unroll 1/full).  16384->4096 sits at ~3.0 ms / ~740 ns a step.
+
 
 def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
     # blocks: xs/ys/zs (1, R, 128); out (1, P, 128) int32; temp (R, 128)

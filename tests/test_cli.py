@@ -12,6 +12,10 @@ import pytest
 
 from kitti_fixture import build_mini_kitti
 
+# full subprocess train/eval runs: minutes each on this 1-CPU host —
+# excluded from the default tier (VERDICT r1 weak#8); run with --runslow
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 TINY_CFG = """CLASS_NAMES: ['Car', 'Pedestrian', 'Cyclist']

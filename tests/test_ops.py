@@ -38,6 +38,22 @@ class TestFPS:
         want = oracles.fps_with_dist_oracle(d, 12)
         np.testing.assert_array_equal(got, want)
 
+    def test_streaming_features_matches_with_dist(self):
+        # the O(N)-memory feature-space F-FPS must pick the same indices
+        # as the precomputed (B, N, N) matrix form it replaces
+        rng = np.random.RandomState(9)
+        feats = rng.randn(2, 48, 7).astype(np.float32)
+        d = np.sum(
+            (feats[:, :, None] - feats[:, None, :]) ** 2, axis=-1
+        ).astype(np.float32)
+        want = np.array(
+            ops.farthest_point_sample_with_dist(jnp.asarray(d), 12)
+        )
+        got = np.array(
+            ops.farthest_point_sample_features(jnp.asarray(feats), 12)
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_first_index_zero(self):
         xyz = _cloud(B=3, N=32, seed=4)
         got = np.array(ops.farthest_point_sample(jnp.asarray(xyz), 8))
