@@ -203,10 +203,20 @@ class SECOND(nn.Module):
                 num_dir_bins=head_cfg.get("NUM_DIR_BINS", 2),
                 separate=head_cfg.get("SEPARATE_MULTIHEAD", False),
             )
-        targets = AH.assign_targets(
-            self.per_class_anchors, gt_boxes, class_ids, thresholds,
-            self.box_coder,
-        )
+        ta_cfg = head_cfg.TARGET_ASSIGNER_CONFIG
+        if ta_cfg.get("NAME", "AxisAlignedTargetAssigner") == "ATSS":
+            from ..dense_heads.atss_assigner import atss_assign_targets
+
+            targets = atss_assign_targets(
+                self.anchors_flat, gt_boxes, int(ta_cfg.TOPK),
+                self.box_coder,
+                match_height=ta_cfg.get("MATCH_HEIGHT", False),
+            )
+        else:
+            targets = AH.assign_targets(
+                self.per_class_anchors, gt_boxes, class_ids, thresholds,
+                self.box_coder,
+            )
         return AH.anchor_head_loss(
             forward_out["cls_preds"],
             forward_out["box_preds"],
