@@ -31,9 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_2080TI_FPS = 25.0
-# 100 in-graph iterations: the relay's ~35 ms per-dispatch overhead is
-# 3.5 ms/frame at K=10 (inflating the measurement by ~30%) and 0.35 at 100
-K_INNER = 100
+# 200 in-graph iterations: the relay's ~35 ms per-dispatch overhead is
+# 3.5 ms/frame at K=10 (inflating the measurement by ~30%) and ~0.2 at 200
+K_INNER = 200
 
 
 def main():
