@@ -134,7 +134,12 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz):
     if jax.default_backend() == "tpu":
         from .pallas.ball_query import ball_query_multi_pallas
 
-        return ball_query_multi_pallas(tuple(radii), tuple(nsamples), xyz, new_xyz)
+        # index outputs carry no tangents; stop_gradient keeps AD from
+        # requesting a (nonexistent) JVP rule for the Pallas call
+        return ball_query_multi_pallas(
+            tuple(radii), tuple(nsamples),
+            jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(new_xyz),
+        )
     return _ball_query_multi_xla(tuple(radii), tuple(nsamples), xyz, new_xyz)
 
 

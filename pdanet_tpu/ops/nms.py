@@ -51,7 +51,12 @@ def greedy_nms_mask_batched(iou, valid, thresh):
         if pad:
             iou = jnp.pad(iou, ((0, 0), (0, pad), (0, pad)))
             valid = jnp.pad(valid, ((0, 0), (0, pad)))
-        keep = greedy_nms_mask_pallas(iou, valid, float(thresh))
+        # keep-mask is discrete: stop_gradient avoids AD requesting a JVP
+        # rule for the Pallas call if NMS is ever reached under grad
+        keep = greedy_nms_mask_pallas(
+            jax.lax.stop_gradient(iou), jax.lax.stop_gradient(valid),
+            float(thresh),
+        )
         return keep[:, :K]
     return jax.vmap(
         lambda i, v: _greedy_nms_mask_xla(i, v, thresh)

@@ -41,7 +41,12 @@ def farthest_point_sample(xyz, npoint):
     if jax.default_backend() == "tpu":
         from .pallas.fps import farthest_point_sample_pallas
 
-        return farthest_point_sample_pallas(xyz, npoint)
+        # index outputs carry no tangents; stop_gradient keeps AD from
+        # requesting a (nonexistent) JVP rule for the Pallas call inside
+        # the jitted train step
+        return farthest_point_sample_pallas(
+            jax.lax.stop_gradient(xyz), npoint
+        )
     return _farthest_point_sample_xla(xyz, npoint)
 
 

@@ -107,6 +107,53 @@ def main():
     if not ok:
         failures.append("ball_query_multichunk")
 
+    # Pallas kernels under grad: one tiny fused train step on-device.
+    # Regression guard for AD tracing through the Pallas dispatch sites
+    # (the kernels emit discrete indices behind stop_gradient; without it
+    # jax requests a JVP rule the kernels don't have, and CPU tests never
+    # see it because they take the XLA fallbacks).
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _load_cfg
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.parallel import make_data_mesh, replicate, shard_batch
+    from pdanet_tpu.train import (
+        build_optimizer_and_schedule,
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+
+    cfg = _load_cfg(tiny=True)
+    model = build_network(
+        cfg.MODEL, num_class=len(cfg.CLASS_NAMES), input_channels=4
+    )
+    rng = jax.random.PRNGKey(0)
+    points = jax.random.normal(rng, (1, 256, 4)) * 5.0
+    gt = jnp.zeros((1, 4, 8))
+    gt = gt.at[:, 0].set(
+        jnp.array([5.0, 1.0, 0.0, 3.9, 1.6, 1.56, 0.3, 1.0]))
+    variables = jax.jit(
+        lambda r, p: model.init({"params": r}, p, train=False)
+    )(rng, points)
+    tx, _ = build_optimizer_and_schedule(cfg.OPTIMIZATION, 10, 2)
+    state = create_train_state(model, variables, tx)
+    mesh = make_data_mesh(jax.devices()[:1])
+    step = jit_train_step(make_train_step(model, tx), mesh)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, {"points": points, "gt_boxes": gt})
+    losses = []
+    for _ in range(3):
+        state, loss, _ = step(state, batch)
+        losses.append(float(loss))
+    ok = all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+    print(f"train step on-device (grad through Pallas dispatch): "
+          f"{'OK' if ok else 'MISMATCH'} losses={losses}")
+    if not ok:
+        failures.append("train_step")
+
     if failures:
         raise SystemExit(f"TPU self-test FAILED: {failures}")
     print("TPU_SELFTEST_OK")
