@@ -475,3 +475,75 @@ def test_centerpoint_cli(cli_env, tmp_path):
     assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
     results = list((workdir / "output").rglob("result.pkl"))
     assert results, "no result.pkl produced"
+
+
+def test_once_cli(tmp_path):
+    """ONCE dataset end-to-end through the real CLIs: infos + gt-db on the
+    mini-ONCE fixture, IASSD (PDA-SSD stack) 1 epoch, then test.py running
+    the official ONCE evaluation."""
+    import yaml
+
+    from once_fixture import build_mini_once
+    from test_datasets import ONCE_CLASSES, ONCE_DATA_CFG
+    from pdanet_tpu.datasets.once.once_dataset import create_once_infos
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    root = tmp_path / "mini_once"
+    build_mini_once(root, num_frames=4)
+    data_cfg = EasyDict(dict(ONCE_DATA_CFG))
+    data_cfg.DATA_PATH = str(root)
+    create_once_infos(data_cfg, ONCE_CLASSES, root, root, workers=1)
+
+    # compose: ONCE data config + the tiny IASSD model from TINY_CFG
+    cfg = EasyDict(yaml.safe_load(TINY_CFG.format(data_path=root)))
+    cfg.CLASS_NAMES = list(ONCE_CLASSES)
+    cfg.DATA_CONFIG = data_cfg
+    cfg.DATA_CONFIG.DATA_PROCESSOR[1]["NUM_POINTS"] = {
+        "train": 1024, "test": 1024,
+    }
+    coder_cfg = cfg.MODEL.POINT_HEAD.TARGET_CONFIG.BOX_CODER_CONFIG
+    coder_cfg["use_mean_size"] = False  # ONCE configs don't use mean sizes
+    coder_cfg.pop("mean_size", None)
+    cfg.MODEL.POST_PROCESSING.EVAL_METRIC = "once"
+    cfg_dir = root / "cfgs" / "once_models"
+    cfg_dir.mkdir(parents=True)
+    def plain(o):
+        if isinstance(o, dict):
+            return {k: plain(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [plain(v) for v in o]
+        return o
+
+    cfg_file = cfg_dir / "PDA-SSD-once-tiny.yaml"
+    cfg_file.write_text(yaml.safe_dump(plain(cfg)))
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    workdir = tmp_path / "once_run"
+    workdir.mkdir()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/train.py"), "--cfg_file", str(cfg_file),
+         "--extra_tag", "once_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert ckpts, "no checkpoint produced"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file", str(cfg_file),
+         "--ckpt", str(ckpts[0]), "--extra_tag", "once_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl produced"
+    with open(results[0], "rb") as f:
+        det_annos = pickle.load(f)
+    assert len(det_annos) == 4
+    assert "boxes_3d" in det_annos[0]
