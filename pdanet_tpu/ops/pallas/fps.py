@@ -77,6 +77,103 @@ def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
     jax.lax.fori_loop(1, npoint, body, 0, unroll=False)
 
 
+def _fps_kernel_grouped(npoint, G, xs_ref, ys_ref, zs_ref, out_ref,
+                        temp_ref):
+    """G frames per program, stepped side by side.
+
+    FPS is latency-bound (~740 ns/step: the argmax reduction chain), so
+    one frame leaves the VPU mostly idle.  G independent frames inside
+    one loop body give the Mosaic scheduler G parallel dependency chains
+    to interleave — batch throughput without touching the per-frame
+    semantics (each frame's field/argmax/output is its own row block).
+    """
+    R = xs_ref.shape[1] // G
+    N = R * _LANES
+    P = out_ref.shape[1] // G
+    lin = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    lin_out = jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 1)
+
+    temp_ref[:, :] = jnp.full((G * R, _LANES), _BIG, dtype=jnp.float32)
+    out_ref[0, :, :] = jnp.zeros((G * P, _LANES), dtype=jnp.int32)
+
+    def body(j, lasts):
+        new_lasts = []
+        for g in range(G):
+            last = lasts[g]
+            sel = lin == last
+            xs = xs_ref[0, g * R:(g + 1) * R, :]
+            ys = ys_ref[0, g * R:(g + 1) * R, :]
+            zs = zs_ref[0, g * R:(g + 1) * R, :]
+            cx = jnp.sum(jnp.where(sel, xs, 0.0))
+            cy = jnp.sum(jnp.where(sel, ys, 0.0))
+            cz = jnp.sum(jnp.where(sel, zs, 0.0))
+            dx = xs - cx
+            dy = ys - cy
+            dz = zs - cz
+            d = dx * dx + dy * dy + dz * dz
+            t = jnp.minimum(temp_ref[g * R:(g + 1) * R, :], d)
+            temp_ref[g * R:(g + 1) * R, :] = t
+            m = jnp.max(t)
+            best = jnp.min(jnp.where(t >= m, lin, N))
+            out_ref[0, g * P:(g + 1) * P, :] = jnp.where(
+                lin_out == j, best, out_ref[0, g * P:(g + 1) * P, :]
+            )
+            new_lasts.append(best)
+        return tuple(new_lasts)
+
+    jax.lax.fori_loop(1, npoint, body, (jnp.int32(0),) * G, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("npoint", "group"))
+def farthest_point_sample_pallas_grouped(xyz, npoint, group=4):
+    """(B, N, 3) -> (B, npoint) — identical outputs to the per-frame
+    kernel; `group` frames share each program for latency hiding.  B is
+    padded to a multiple of `group` with copies of frame 0."""
+    B, N, _ = xyz.shape
+    G = min(group, B)
+    padB = (-B) % G
+    if padB:
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[0:1], (padB,) + xyz.shape[1:])], 0
+        )
+    Bp = B + padB
+    pad = (-N) % _LANES
+    if pad:
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[:, 0:1, :], (Bp, pad, 3))], axis=1
+        )
+        N += pad
+    R = N // _LANES
+    P = (npoint + _LANES - 1) // _LANES
+    planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1)).reshape(
+        Bp, 3, R, _LANES
+    )
+    # group frames into the row axis: (Bp/G, G*R, 128)
+    xs = planes[:, 0].reshape(Bp // G, G * R, _LANES)
+    ys = planes[:, 1].reshape(Bp // G, G * R, _LANES)
+    zs = planes[:, 2].reshape(Bp // G, G * R, _LANES)
+
+    out = pl.pallas_call(
+        partial(_fps_kernel_grouped, npoint, G),
+        grid=(Bp // G,),
+        in_specs=[
+            pl.BlockSpec((1, G * R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * R, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G * P, _LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp // G, G * P, _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((G * R, _LANES), jnp.float32)],
+    )(xs, ys, zs)
+    return out.reshape(Bp, P * _LANES)[:B, :npoint]
+
+
 @partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample_pallas(xyz, npoint):
     """(B, N, 3) -> (B, npoint) int32.

@@ -39,14 +39,23 @@ def farthest_point_sample(xyz, npoint):
         (B, npoint) int32 indices.
     """
     if jax.default_backend() == "tpu":
-        from .pallas.fps import farthest_point_sample_pallas
+        from .pallas.fps import (
+            farthest_point_sample_pallas,
+            farthest_point_sample_pallas_grouped,
+        )
 
         # index outputs carry no tangents; stop_gradient keeps AD from
         # requesting a (nonexistent) JVP rule for the Pallas call inside
         # the jitted train step
-        return farthest_point_sample_pallas(
-            jax.lax.stop_gradient(xyz), npoint
-        )
+        xyz = jax.lax.stop_gradient(xyz)
+        if xyz.shape[0] > 1:
+            # batch: group frames per program so their independent
+            # argmax dependency chains interleave (-22% at b8, identical
+            # outputs)
+            return farthest_point_sample_pallas_grouped(
+                xyz, npoint, group=min(8, xyz.shape[0])
+            )
+        return farthest_point_sample_pallas(xyz, npoint)
     return _farthest_point_sample_xla(xyz, npoint)
 
 

@@ -39,6 +39,17 @@ def main():
         if not ok:
             failures.append("fps")
 
+    # grouped (multi-frame-per-program) FPS — the batch dispatch path
+    from pdanet_tpu.ops.pallas.fps import farthest_point_sample_pallas_grouped
+
+    xyz = jax.random.normal(jax.random.PRNGKey(77), (3, 2048, 3)) * 10
+    a = np.asarray(_farthest_point_sample_xla(xyz, 256))
+    b = np.asarray(farthest_point_sample_pallas_grouped(xyz, 256, group=2))
+    ok = np.array_equal(a, b)
+    print(f"fps grouped (B=3, G=2) vs xla: {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        failures.append("fps_grouped")
+
     # Pallas NMS == XLA NMS
     rng = np.random.RandomState(0)
     for K in (128, 256, 512):
