@@ -1,9 +1,9 @@
 """ONCE dataset — counterpart of ``pcdet/datasets/once/once_dataset.py``.
 
 Sequence+json infos, roof-lidar .bin reads, gt-database creation, ONCE
-prediction dicts and the official ONCE evaluation.  The point-painting
-branch (torch grid_sample over camera semseg, reference :86-122) is not on
-the PDA-SSD path and is omitted (POINT_PAINTING configs raise)."""
+prediction dicts, the official ONCE evaluation, and point painting
+(``POINT_PAINTING`` + ``SEMSEG_DIR``: camera-semseg scores appended to each
+point via numpy bilinear sampling, reference :86-122)."""
 
 import copy
 import json
@@ -75,6 +75,68 @@ class ONCEDataset(DatasetTemplate):
         )
         return np.fromfile(str(bin_path), dtype=np.float32).reshape(-1, 4)
 
+    def point_painting(self, points, info):
+        """Append per-class semantic scores sampled from camera semseg maps
+        (reference once_dataset.py:86-122).
+
+        For every camera, points are projected through ``cam_to_velo``^-1 and
+        the intrinsics, then bilinearly sample a one-hot-encoded label map at
+        ``<SEMSEG_DIR>/<seq_id>/<cam_name>/<frame_id>_label.png``; cameras are
+        applied in ``cam_names`` order, later cameras overwriting earlier ones
+        (the reference's ``painted[mask] = proj_scores``).  The reference uses
+        torch ``grid_sample`` (align_corners=False, zeros padding); with its
+        uv normalization that reduces to bilinear sampling at pixel coordinate
+        (u - 0.5, v - 0.5), which is what the numpy path below does.
+
+        ``SEMSEG_DIR`` replaces the reference's hard-coded ``'./'``; classes
+        are the reference's fixed [0..5].
+        """
+        from PIL import Image
+
+        semseg_dir = Path(self.dataset_cfg.get("SEMSEG_DIR", "./"))
+        num_classes = 6  # reference used_classes = [0,1,2,3,4,5]
+        frame_id, seq_id = str(info["frame_id"]), str(info["sequence_id"])
+        painted = np.zeros((points.shape[0], num_classes), dtype=np.float32)
+        for cam_name in self.cam_names:
+            img_path = semseg_dir / seq_id / cam_name / (frame_id + "_label.png")
+            if not img_path.exists():
+                continue
+            calib_info = info["calib"][cam_name]
+            cam_2_velo = np.asarray(calib_info["cam_to_velo"], dtype=np.float64)
+            intr = np.asarray(calib_info["cam_intrinsic"], dtype=np.float64)
+            cam_intri = np.hstack([intr, np.zeros((3, 1))])
+            homo = np.hstack([points[:, :3], np.ones((points.shape[0], 1))])
+            pts_cam = homo @ np.linalg.inv(cam_2_velo).T
+            mask = pts_cam[:, 2] > 0
+            img_pts = pts_cam[mask] @ cam_intri.T
+            img_pts = img_pts / img_pts[:, [2]]
+            u, v = img_pts[:, 0], img_pts[:, 1]
+
+            seg_map = np.array(Image.open(img_path))
+            H, W = seg_map.shape[:2]
+            one_hot = np.zeros((H, W, num_classes), dtype=np.float32)
+            for cls_i in range(num_classes):
+                one_hot[seg_map == cls_i, cls_i] = 1.0
+
+            # bilinear sample at (u-0.5, v-0.5) with zeros padding
+            x, y = u - 0.5, v - 0.5
+            x0, y0 = np.floor(x).astype(np.int64), np.floor(y).astype(np.int64)
+            wx, wy = (x - x0)[:, None], (y - y0)[:, None]
+
+            def tap(xi, yi):
+                inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                vals = one_hot[np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+                return vals * inside[:, None]
+
+            scores = (
+                tap(x0, y0) * (1 - wx) * (1 - wy)
+                + tap(x0 + 1, y0) * wx * (1 - wy)
+                + tap(x0, y0 + 1) * (1 - wx) * wy
+                + tap(x0 + 1, y0 + 1) * wx * wy
+            )
+            painted[mask] = scores.astype(np.float32)
+        return np.concatenate([points, painted], axis=1).astype(np.float32)
+
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:
             return len(self.once_infos) * self.total_epochs
@@ -88,10 +150,7 @@ class ONCEDataset(DatasetTemplate):
         seq_id = info["sequence_id"]
         points = self.get_lidar(seq_id, frame_id)
         if self.dataset_cfg.get("POINT_PAINTING", False):
-            raise NotImplementedError(
-                "point painting is an off-path experiment in the reference "
-                "(once_dataset.py:86-122); not supported"
-            )
+            points = self.point_painting(points, info)
         input_dict = {"points": points, "frame_id": frame_id}
         if "annos" in info:
             annos = info["annos"]

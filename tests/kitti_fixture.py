@@ -24,7 +24,7 @@ Height 1
 """
 
 
-def _make_frame(rng, n_bg=4000):
+def _make_frame(rng, n_bg=4000, n_car=300, n_ped=120):
     """Scene points + a Car and a Pedestrian with points on them."""
     pts = np.zeros((n_bg, 4), np.float32)
     pts[:, 0] = rng.uniform(4, 60, n_bg)  # x forward
@@ -46,8 +46,8 @@ def _make_frame(rng, n_bg=4000):
     pts = np.concatenate(
         [
             pts,
-            box_points(car["center"], car["dims"], car["yaw"], 300),
-            box_points(ped["center"], ped["dims"], ped["yaw"], 120),
+            box_points(car["center"], car["dims"], car["yaw"], n_car),
+            box_points(ped["center"], ped["dims"], ped["yaw"], n_ped),
         ]
     )
     return pts, [("Car", car), ("Pedestrian", ped)]
@@ -69,7 +69,7 @@ def _label_line(cls, box, calib):
     )
 
 
-def build_mini_kitti(root: Path, num_frames=3, seed=0):
+def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300, n_ped=120):
     from PIL import Image
 
     from pdanet_tpu.utils.calibration_kitti import Calibration
@@ -86,7 +86,7 @@ def build_mini_kitti(root: Path, num_frames=3, seed=0):
         (training / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
         (training / "planes" / f"{idx}.txt").write_text(PLANE_TXT)
         calib = Calibration(str(training / "calib" / f"{idx}.txt"))
-        pts, objs = _make_frame(rng)
+        pts, objs = _make_frame(rng, n_bg=n_bg, n_car=n_car, n_ped=n_ped)
         pts.tofile(str(training / "velodyne" / f"{idx}.bin"))
         lines = [_label_line(cls, box, calib) for cls, box in objs]
         (training / "label_2" / f"{idx}.txt").write_text("\n".join(lines) + "\n")

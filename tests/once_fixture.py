@@ -18,9 +18,13 @@ def build_mini_once(root: Path, seq_id="000027", num_frames=3, seed=0):
 
     rng = np.random.RandomState(seed)
     cam_names = ["cam01", "cam03", "cam05", "cam06", "cam07", "cam08", "cam09"]
+    # forward-looking camera: cam z -> velo +x, cam x -> velo -y, cam y -> velo -z
+    cam_to_velo = np.eye(4)
+    cam_to_velo[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    cam_to_velo[:3, 3] = [0.5, 0.0, 1.8]
     calib = {
         c: {
-            "cam_to_velo": np.eye(4).tolist(),
+            "cam_to_velo": cam_to_velo.tolist(),
             "cam_intrinsic": [[1000, 0, 960], [0, 1000, 540], [0, 0, 1]],
             "distortion": [0] * 5,
         }

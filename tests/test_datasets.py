@@ -334,3 +334,92 @@ def test_kitti_matcher_vectorized_vs_sequential():
                 assert vec[t, 3] == -1, (trial, t, "sim")
             else:
                 np.testing.assert_allclose(vec[t, 3], ref_sim, rtol=1e-9)
+
+
+def test_once_point_painting_matches_grid_sample(once_root):
+    """point_painting must reproduce the reference's torch grid_sample math
+    (once_dataset.py:86-122): one-hot seg map, bilinear, zeros padding,
+    align_corners=False."""
+    import pickle
+
+    import torch
+    import torch.nn.functional as F
+    from PIL import Image
+
+    from pdanet_tpu.datasets.once.once_dataset import ONCEDataset
+
+    with open(once_root / "once_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    info = infos[0]
+    seq_id, frame_id = info["sequence_id"], info["frame_id"]
+
+    # synthetic label map for cam03 only (sized to the fixture intrinsics:
+    # cx=960, cy=540 -> 1920x1080 image); ids 6,7 = unused classes
+    rng = np.random.RandomState(7)
+    H, W = 1080, 1920
+    seg = rng.randint(0, 8, (H, W)).astype(np.uint8)
+    semseg = once_root / "semseg"
+    (semseg / seq_id / "cam03").mkdir(parents=True)
+    Image.fromarray(seg).save(semseg / seq_id / "cam03" / f"{frame_id}_label.png")
+
+    cfg = EasyDict(dict(ONCE_DATA_CFG))
+    cfg.DATA_PATH = str(once_root)
+    cfg.POINT_PAINTING = True
+    cfg.SEMSEG_DIR = str(semseg)
+    # gt-sampling pastes 4-feature db objects — incompatible with painted
+    # 10-feature clouds (same constraint as the reference's db sampler)
+    cfg.DATA_AUGMENTOR = EasyDict({
+        "DISABLE_AUG_LIST": ["gt_sampling"],
+        "AUG_CONFIG_LIST": [
+            {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+        ],
+    })
+    # name the painted channels so the feature encoder keeps them
+    names = ["x", "y", "z", "intensity"] + [f"seg{i}" for i in range(6)]
+    cfg.POINT_FEATURE_ENCODING = EasyDict({
+        "encoding_type": "absolute_coordinates_encoding",
+        "used_feature_list": names, "src_feature_list": names,
+    })
+    ds = ONCEDataset(
+        dataset_cfg=cfg, class_names=ONCE_CLASSES, training=True,
+        root_path=once_root,
+    )
+    points = ds.get_lidar(seq_id, frame_id)[:512]
+    painted = ds.point_painting(points, info)
+    assert painted.shape == (512, 4 + 6)
+    np.testing.assert_array_equal(painted[:, :4], points)
+
+    # torch oracle — the reference's exact formulation
+    calib = info["calib"]["cam03"]
+    cam_2_velo = np.asarray(calib["cam_to_velo"], np.float64)
+    intr = np.hstack([np.asarray(calib["cam_intrinsic"], np.float64), np.zeros((3, 1))])
+    homo = np.hstack([points[:, :3], np.ones((points.shape[0], 1))])
+    pts_cam = homo @ np.linalg.inv(cam_2_velo).T
+    mask = pts_cam[:, 2] > 0
+    img_pts = pts_cam[mask] @ intr.T
+    img_pts = img_pts / img_pts[:, [2]]
+    uv = img_pts[:, :2].copy()
+    one_hot = np.zeros((H * W, 6), np.float32)
+    flat = seg.reshape(-1)
+    for ci in range(6):
+        one_hot[flat == ci, ci] = 1.0
+    feats = torch.from_numpy(one_hot.reshape(H, W, 6).transpose(2, 0, 1))[None]
+    uv[:, 0] = (uv[:, 0] - W / 2) / (W / 2)
+    uv[:, 1] = (uv[:, 1] - H / 2) / (H / 2)
+    # double precision: f32 grid coords (~1e3 px) quantize at the 1e-4 px
+    # level and flip floor cells vs the numpy path at cell boundaries
+    grid = torch.from_numpy(uv)[None, None].double()
+    ref = F.grid_sample(feats.double(), grid, mode="bilinear",
+                        padding_mode="zeros", align_corners=False)
+    ref = ref.squeeze(0).squeeze(1).transpose(0, 1).numpy()
+    expected = np.zeros((points.shape[0], 6), np.float32)
+    expected[mask] = ref
+    np.testing.assert_allclose(painted[:, 4:], expected, atol=2e-5)
+    # the projection must actually hit the map for a meaningful check
+    assert (expected.sum(axis=1) > 0.5).sum() > 20
+
+    # __getitem__ plumbs the painted channels through prepare_data
+    idx = next(i for i, inf in enumerate(ds.once_infos)
+               if inf["frame_id"] == frame_id)
+    item = ds[idx]
+    assert item["points"].shape[1] == 10
