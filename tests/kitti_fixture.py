@@ -24,12 +24,20 @@ Height 1
 """
 
 
-def _make_frame(rng, n_bg=4000, n_car=300, n_ped=120):
-    """Scene points + a Car and a Pedestrian with points on them."""
+def _make_frame(rng, n_bg=4000, n_car=300, n_ped=120,
+                bg_box=((4, 60), (-15, 15), (-1.8, 0.5))):
+    """Scene points + a Car and a Pedestrian with points on them.
+
+    ``bg_box`` bounds the background clutter; overfit tests use a compact
+    box so the D-FPS sample spacing at test-scale point budgets matches
+    real-KITTI density (a 70x30 m scene at 128 samples means ~3.5 m
+    spacing — a car would get ~1 sample and center-aware sampling could
+    never bootstrap, regardless of implementation)."""
+    (x0, x1), (y0, y1), (z0, z1) = bg_box
     pts = np.zeros((n_bg, 4), np.float32)
-    pts[:, 0] = rng.uniform(4, 60, n_bg)  # x forward
-    pts[:, 1] = rng.uniform(-15, 15, n_bg)
-    pts[:, 2] = rng.uniform(-1.8, 0.5, n_bg)
+    pts[:, 0] = rng.uniform(x0, x1, n_bg)  # x forward
+    pts[:, 1] = rng.uniform(y0, y1, n_bg)
+    pts[:, 2] = rng.uniform(z0, z1, n_bg)
     pts[:, 3] = rng.uniform(0, 1, n_bg)
 
     def box_points(center, dims, yaw, n):
@@ -69,7 +77,8 @@ def _label_line(cls, box, calib):
     )
 
 
-def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300, n_ped=120):
+def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300,
+                     n_ped=120, bg_box=((4, 60), (-15, 15), (-1.8, 0.5))):
     from PIL import Image
 
     from pdanet_tpu.utils.calibration_kitti import Calibration
@@ -86,7 +95,7 @@ def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300, n_p
         (training / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
         (training / "planes" / f"{idx}.txt").write_text(PLANE_TXT)
         calib = Calibration(str(training / "calib" / f"{idx}.txt"))
-        pts, objs = _make_frame(rng, n_bg=n_bg, n_car=n_car, n_ped=n_ped)
+        pts, objs = _make_frame(rng, n_bg=n_bg, n_car=n_car, n_ped=n_ped, bg_box=bg_box)
         pts.tofile(str(training / "velodyne" / f"{idx}.bin"))
         lines = [_label_line(cls, box, calib) for cls, box in objs]
         (training / "label_2" / f"{idx}.txt").write_text("\n".join(lines) + "\n")
