@@ -4,7 +4,7 @@ Replaces the XLA formulation in ``ops/ball_query.py`` on TPU.  The XLA
 version materializes the (M, N) distance field plus several same-sized
 cumsum/priority intermediates in HBM — ~6 x 256 MB of traffic for the
 KITTI L0 query (16384 pts x 4096 centers), measured at ~17 ms on v5e.
-This kernel keeps everything in VMEM: per 64-center block it streams the
+This kernel keeps everything in VMEM: per 128-center block it streams the
 support points once, computes the distance field, and runs the
 hierarchical first-K selection on-chip, writing only the (M, K) index
 tensors back to HBM.
@@ -21,11 +21,17 @@ Mosaic notes (probed on v5e):
   * batched ``dot_general`` IS supported -> the "row gather" of the
     hierarchy (pick the boundary 128-lane sub-chunk per (center, k)) is a
     one-hot batched matmul on the MXU,
-  * support points and centers arrive as (B, 3, *, len) lane planes;
-    center columns are (1, Mb) -> (Mb, 1) in-kernel transposes.
+  * layout is chosen so NO large vector relayout is needed: the support
+    points arrive pre-reshaped as (B, 3, C, 128) sub-chunk planes (a free
+    row-major host reshape), so the distance field is computed directly in
+    the (Mb, C, 128) shape whose collapse to (Mb*C, 128) for the prefix
+    matmul is also free.  v1 of this kernel computed d2 as (Mb, NC) lanes
+    and reshaped the hit mask per radius — a ~1M-element lane->sublane
+    relayout per radius per program that dominated the runtime at KITTI
+    L0 shapes (measured ~1.9 ms; see git history).
 
-Large N (ONCE: 60k) is processed in lane chunks of ``_NC`` with a
-cross-chunk merge: per-radius scratch keeps the selected indices and a
+Large N (ONCE: 60k) is processed in sub-chunk groups of ``_NC`` lanes with
+a cross-chunk merge: per-radius scratch keeps the selected indices and a
 running count, and each chunk's local first-K candidates are shifted into
 the free slots with a one-hot K x K selection.
 
@@ -57,26 +63,29 @@ def _tri_incl(n, dtype):
     return (r <= c).astype(dtype)
 
 
-def _first_k_in_chunk(hit, K):
+def _first_k_in_chunk(hit3, K):
     """Lane positions of the first K hits within one chunk, scan order.
 
     Args:
-        hit: (Mb, NC) bool, NC = C * 128.
+        hit3: (Mb, C, 128) bool — sub-chunk-major hit planes (point index
+            of [m, c, j] is c * 128 + j).
     Returns:
         lpos (Mb, K) float32 position of the k-th hit (garbage when k >=
         total), total (Mb, 1) float32 hit count.
     """
-    Mb, NC = hit.shape
-    C = NC // _LANES
-    # cast BEFORE reshaping: Mosaic cannot shape-cast i1 vectors
-    hb = hit.astype(jnp.bfloat16)
+    Mb, C, _ = hit3.shape
+    # cast BEFORE reshaping: Mosaic cannot shape-cast i1 vectors; the
+    # (Mb, C, 128) -> (Mb*C, 128) collapse of leading dims is layout-free
+    hb = hit3.astype(jnp.bfloat16)
     h3 = hb.reshape(Mb * C, _LANES)
     L = _tri_incl(_LANES, jnp.bfloat16)
     # lane-local inclusive prefix: values <= 128, exact in bf16 -> f32
+    # (Mosaic requires 32-bit matmul accumulators; a bf16 accumulator was
+    # tried and rejected by the verifier)
     inner = jax.lax.dot_general(
         h3, L, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).reshape(Mb, C, _LANES)
-    counts = jnp.sum(hb.astype(jnp.float32).reshape(Mb, C, _LANES), axis=-1)
+    counts = jnp.sum(hb.astype(jnp.float32), axis=-1)  # (Mb, C)
     # sub-chunk-level inclusive prefix (counts <= 128, exact in bf16)
     Lc = _tri_incl(C, jnp.bfloat16)
     incl = jax.lax.dot_general(
@@ -121,25 +130,26 @@ def _bq_kernel(radii, nsamples, n_chunks, ctr_ref, sup_ref, *rest):
     out_refs = rest[:n_r]
     sel_refs = rest[n_r : 2 * n_r]
     cnt_refs = rest[2 * n_r : 3 * n_r]
-    NC = sup_ref.shape[2]
+    C = sup_ref.shape[2]
+    NC = C * _LANES
     nc_id = pl.program_id(2) if n_chunks > 1 else 0
     base = (nc_id * NC).astype(jnp.float32) if n_chunks > 1 else 0.0
 
-    # centers: (1, Mb) lane rows -> (Mb, 1) columns
-    cxs = jnp.transpose(ctr_ref[0, 0:1, :])
-    cys = jnp.transpose(ctr_ref[0, 1:2, :])
-    czs = jnp.transpose(ctr_ref[0, 2:3, :])
-    xs = sup_ref[0, 0:1, :]  # (1, NC)
-    ys = sup_ref[0, 1:2, :]
-    zs = sup_ref[0, 2:3, :]
+    # centers: (1, Mb) lane rows -> (Mb, 1) columns -> (Mb, 1, 1)
+    cxs = jnp.transpose(ctr_ref[0, 0:1, :]).reshape(_MB, 1, 1)
+    cys = jnp.transpose(ctr_ref[0, 1:2, :]).reshape(_MB, 1, 1)
+    czs = jnp.transpose(ctr_ref[0, 2:3, :]).reshape(_MB, 1, 1)
+    xs = sup_ref[0, 0, :, :].reshape(1, C, _LANES)
+    ys = sup_ref[0, 1, :, :].reshape(1, C, _LANES)
+    zs = sup_ref[0, 2, :, :].reshape(1, C, _LANES)
     dx = cxs - xs
     dy = cys - ys
     dz = czs - zs
-    d2 = dx * dx + dy * dy + dz * dz  # (Mb, NC)
+    d2 = dx * dx + dy * dy + dz * dz  # (Mb, C, 128)
 
     for i, (radius, K) in enumerate(zip(radii, nsamples)):
-        hit = d2 < (radius * radius)
-        lpos, total = _first_k_in_chunk(hit, K)
+        hit3 = d2 < (radius * radius)
+        lpos, total = _first_k_in_chunk(hit3, K)
         lpos = (lpos + base).astype(jnp.int32)
         Mb = lpos.shape[0]
 
@@ -200,6 +210,10 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
     Np = sup.shape[2]
     NC = min(Np, nc)
     n_chunks = Np // NC
+    C = NC // _LANES
+    # free row-major reshape: sub-chunk planes (B, 3, Np/128, 128) so the
+    # kernel's distance field lives directly in (Mb, C, 128) layout
+    sup4 = sup.reshape(B, 3, Np // _LANES, _LANES)
 
     ctr = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
     ctr = _pad_to(ctr, 2, _MB, 0.0)
@@ -212,7 +226,7 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
         in_specs=[
             pl.BlockSpec((1, 3, _MB), lambda b, m, n: (b, 0, m),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, NC), lambda b, m, n: (b, 0, n),
+            pl.BlockSpec((1, 3, C, _LANES), lambda b, m, n: (b, 0, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
@@ -228,5 +242,5 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
             + [pltpu.VMEM((_MB, 1), jnp.float32) for _ in nsamples]
         ),
         interpret=interpret,
-    )(ctr, sup)
+    )(ctr, sup4)
     return tuple(o[:, :M, :] for o in outs)
