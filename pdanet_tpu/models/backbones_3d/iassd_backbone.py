@@ -365,14 +365,21 @@ class IASSDBackbone(nn.Module):
         self.layer_inputs = sa_cfg.LAYER_INPUT
         aggregation_mlps = sa_cfg.get("AGGREGATION_MLPS", None)
         confidence_mlps = sa_cfg.get("CONFIDENCE_MLPS", None)
-        # optional eval-only bf16 compute for the MLP/transformer stacks
-        # (params stay f32; training always runs f32 — blocks._infer_dtype)
+        # optional bf16 compute for the MLP/transformer stacks (params
+        # stay f32).  COMPUTE_DTYPE applies at eval only (training runs
+        # f32 — reference numerics); TRAIN_COMPUTE_DTYPE additionally
+        # opts training into bf16 matmuls with f32 BN/LN statistics
+        # (blocks._infer_dtype / _norm_dtype).
+        from ..blocks import TrainEvalDtype
+
+        mcfg = EasyDict(self.model_cfg)
         compute_dtype = (
             jnp.bfloat16
-            if str(EasyDict(self.model_cfg).get("COMPUTE_DTYPE", ""))
-            in ("bfloat16", "bf16")
+            if str(mcfg.get("COMPUTE_DTYPE", "")) in ("bfloat16", "bf16")
             else None
         )
+        if str(mcfg.get("TRAIN_COMPUTE_DTYPE", "")) in ("bfloat16", "bf16"):
+            compute_dtype = TrainEvalDtype(jnp.bfloat16)
         max_translate = sa_cfg.get("MAX_TRANSLATE_RANGE", None)
 
         channel_in = self.input_channels - 3

@@ -20,11 +20,42 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TrainEvalDtype:
+    """Marker: apply ``dtype`` during training too (mixed-precision train).
+
+    Params and optimizer state stay f32; only the layer compute runs in
+    ``dtype``.  Normalization statistics (BN batch mean/var, LN) remain
+    f32 during training — see the ``bn_dtype`` handling below.
+
+    Measured on v5e at PDA-SSD channel widths (16-512): bf16 train is
+    SLOWER than f32 (41 -> 59 ms/step at b2 KITTI shapes) — the tiny
+    matmuls are conversion-bound, not MXU-bound.  The switch ships for
+    wider model variants; the default stays f32."""
+
+    dtype: Any
+
+
 def _infer_dtype(dtype, train):
-    """Inference-only compute dtype: training always runs f32 (reference
-    numerics); eval may drop to bf16 — params stay f32, the matmuls run
-    on the MXU's bf16 path."""
+    """Compute dtype policy: a plain dtype is inference-only (training
+    always runs f32 — reference numerics); wrap in ``TrainEvalDtype`` to
+    opt a model into bf16 train compute (``BACKBONE_3D.TRAIN_COMPUTE_DTYPE``).
+    Params stay f32 either way; the matmuls run on the MXU's bf16 path."""
+    if isinstance(dtype, TrainEvalDtype):
+        return dtype.dtype
     return None if train else dtype
+
+
+def _norm_dtype(dtype, train):
+    """Normalization layers keep f32 statistics during bf16 TRAINING
+    (batch mean/var in bf16 loses too much precision for stable BN);
+    at eval the running stats are fixed, so bf16 is safe."""
+    if train and isinstance(dtype, TrainEvalDtype):
+        return None
+    return _infer_dtype(dtype, train)
 
 
 class DenseBNReLU(nn.Module):
@@ -42,7 +73,7 @@ class DenseBNReLU(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=dt, name="bn",
+            dtype=_norm_dtype(self.dtype, train), name="bn",
         )(x)
         return nn.relu(x)
 
@@ -101,8 +132,9 @@ class TransformerEncoderLayerPreNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = _infer_dtype(self.dtype, train)
+        ln_dt = _norm_dtype(self.dtype, train)
         # x: (B, M, K, D)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1")(x)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
@@ -112,7 +144,7 @@ class TransformerEncoderLayerPreNorm(nn.Module):
             name="self_attn",
         )(x, x)
         x = x + attn
-        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm2")(x)
         h = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, dtype=dt, name="linear2")(h)
