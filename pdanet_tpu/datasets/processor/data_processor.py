@@ -215,6 +215,37 @@ class DataProcessor:
         data_dict["max_number_of_voxels"] = max_voxels
         return data_dict
 
+    def sample_points_by_voxels(self, data_dict=None, config=None):
+        """Voxel-downsample then budget-sample (reference
+        data_processor.py:145-185, the waymo/nuscenes IA-SSD entry):
+        voxelize, collapse each voxel to one point (``raw`` keeps the
+        first point in scan order, ``mean_vfe`` averages the voxel's
+        points), then apply the fixed-budget ``sample_points``.  The
+        voxel tensors are consumed here and dropped."""
+        if data_dict is None:
+            grid_size = (
+                self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
+            ) / np.array(config.VOXEL_SIZE)
+            self.grid_size = np.round(grid_size).astype(np.int64)
+            self.voxel_size = config.VOXEL_SIZE
+            return partial(self.sample_points_by_voxels, config=config)
+
+        if config.NUM_POINTS[self.mode] == -1:  # dynamic voxelization
+            return data_dict
+
+        data_dict = self.transform_points_to_voxels(data_dict, config=config)
+        voxels = data_dict.pop("voxels")
+        voxel_num_points = data_dict.pop("voxel_num_points")
+        data_dict.pop("voxel_coords")
+        data_dict.pop("max_number_of_voxels", None)
+        if config.get("SAMPLE_TYPE", "raw") == "mean_vfe":
+            data_dict["points"] = (
+                voxels.sum(axis=1) / voxel_num_points[:, None]
+            ).astype(np.float32)
+        else:  # 'raw': keep one point per voxel
+            data_dict["points"] = voxels[:, 0]
+        return self.sample_points(data_dict, config=config)
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)

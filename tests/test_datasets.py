@@ -423,3 +423,45 @@ def test_once_point_painting_matches_grid_sample(once_root):
                if inf["frame_id"] == frame_id)
     item = ds[idx]
     assert item["points"].shape[1] == 10
+
+
+def test_sample_points_by_voxels():
+    """Voxel-downsample-then-sample (reference data_processor.py:145-185):
+    'raw' keeps each voxel's first point in scan order, 'mean_vfe'
+    averages, and the fixed budget is applied afterwards."""
+    from pdanet_tpu.datasets.processor.data_processor import DataProcessor
+
+    pcr = np.asarray([0, -8, -3, 16, 8, 1], np.float32)
+    base = {
+        "VOXEL_SIZE": [0.5, 0.5, 4.0],
+        "MAX_POINTS_PER_VOXEL": 8,
+        "MAX_NUMBER_OF_VOXELS": {"train": 512, "test": 512},
+        "NUM_POINTS": {"train": 16, "test": 16},
+    }
+    pts = np.array(
+        [
+            [0.1, 0.1, 0.0, 1.0],   # voxel A, first point
+            [0.2, 0.2, 0.1, 3.0],   # voxel A, second point
+            [5.0, 3.0, -1.0, 5.0],  # voxel B
+        ],
+        np.float32,
+    )
+
+    def run(sample_type):
+        cfg = EasyDict(dict(base, NAME="sample_points_by_voxels",
+                            SAMPLE_TYPE=sample_type))
+        dp = DataProcessor([cfg], pcr, training=True, num_point_features=4)
+        np.random.seed(0)
+        return dp.forward({"points": pts.copy()})
+
+    out = run("raw")
+    assert out["points"].shape == (16, 4)  # padded up to the budget
+    assert "voxels" not in out and "voxel_coords" not in out
+    # every output row is one of the per-voxel representatives
+    reps = {tuple(pts[0]), tuple(pts[2])}
+    assert {tuple(r) for r in out["points"]} == reps
+
+    out = run("mean_vfe")
+    mean_a = tuple(pts[:2].mean(axis=0))
+    assert {tuple(r) for r in np.round(out["points"], 5)} == {
+        tuple(np.round(mean_a, 5)), tuple(pts[2])}
