@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
@@ -195,3 +196,106 @@ def test_converter_roundtrip_tiny_config():
     # the converted variables drive a real forward pass
     out = model.apply(converted, pts, train=False)
     assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_transformer_layer_torch_activation_parity():
+    """Numerical ground truth for the PDA transformer block AND the
+    converter's MultiheadAttention mapping: a reference-shaped torch
+    pre-norm layer (PointFormer.py:7-39 — norm1 -> self_attn -> residual
+    on the NORMALIZED input -> norm2 -> FFN residual) is run on random
+    data, its state_dict converted via ``convert_transformer_layer``, and
+    the flax block must reproduce the activations."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_transformer_layer
+
+    from pdanet_tpu.models.blocks import TransformerEncoderLayerPreNorm
+
+    d_model, nhead, dim_ff, K, tokens = 32, 4, 64, 16, 6
+    torch.manual_seed(0)
+
+    class RefPreNorm(torch.nn.Module):
+        # same module set + dataflow as the reference layer; dropout is
+        # inert in eval mode
+        def __init__(self):
+            super().__init__()
+            self.self_attn = torch.nn.MultiheadAttention(d_model, nhead)
+            self.linear1 = torch.nn.Linear(d_model, dim_ff)
+            self.linear2 = torch.nn.Linear(dim_ff, d_model)
+            self.norm1 = torch.nn.LayerNorm(d_model)
+            self.norm2 = torch.nn.LayerNorm(d_model)
+
+        def forward(self, src):  # (K, B*N, C)
+            src = self.norm1(src)
+            src2, _ = self.self_attn(src, src, src)
+            src = src + src2
+            src = self.norm2(src)
+            return src + self.linear2(torch.relu(self.linear1(src)))
+
+    ref = RefPreNorm().eval()
+    x = torch.randn(K, tokens, d_model)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()  # (K, tokens, C)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_transformer_layer(TorchTree(sd), d_model, nhead)
+
+    blk = TransformerEncoderLayerPreNorm(
+        d_model=d_model, nhead=nhead, dim_feedforward=dim_ff)
+    # flax layout: (B, M, K, C); tokens axis = K
+    x_jax = jnp.asarray(x.numpy().transpose(1, 0, 2))[None]  # (1, tokens, K, C)
+    y = np.asarray(blk.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, x_jax, train=False))
+    np.testing.assert_allclose(y[0].transpose(1, 0, 2), y_ref, atol=2e-5)
+
+
+def test_densitynet_torch_activation_parity():
+    """DensityNet vs a reference-shaped torch twin (pointnet2_modules.py:
+    956-979): Conv2d-1x1 + BatchNorm2d + ReLU for every layer including
+    the last (the sigmoid branch is dead there), eval-mode running stats."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_densitynet
+
+    from pdanet_tpu.models.blocks import DensityNet
+
+    torch.manual_seed(1)
+
+    class RefDensityNet(torch.nn.Module):
+        def __init__(self, hidden=(16, 8)):
+            super().__init__()
+            chans = (1,) + tuple(hidden) + (1,)
+            self.mlp_convs = torch.nn.ModuleList(
+                [torch.nn.Conv2d(chans[i], chans[i + 1], 1)
+                 for i in range(len(chans) - 1)])
+            self.mlp_bns = torch.nn.ModuleList(
+                [torch.nn.BatchNorm2d(c) for c in chans[1:]])
+
+        def forward(self, x):  # (B, 1, N, K)
+            for conv, bn in zip(self.mlp_convs, self.mlp_bns):
+                x = torch.relu(bn(conv(x)))
+            return x
+
+    ref = RefDensityNet()
+    # randomize running stats so eval-mode BN is a real check
+    with torch.no_grad():
+        for bn in ref.mlp_bns:
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.uniform_(0.5, 1.5)
+            bn.bias.uniform_(-0.5, 0.5)
+    ref.eval()
+
+    x = torch.rand(2, 1, 5, 7)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()  # (B, 1, N, K)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_densitynet(TorchTree(sd))
+
+    dn = DensityNet()
+    x_jax = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))  # (B, N, K, 1)
+    y = np.asarray(dn.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        x_jax, train=False))
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), y_ref, atol=1e-5)
