@@ -248,6 +248,485 @@ def test_transformer_layer_torch_activation_parity():
     np.testing.assert_allclose(y[0].transpose(1, 0, 2), y_ref, atol=2e-5)
 
 
+def test_sa_ellipsoid_torch_activation_parity():
+    """End-to-end activation parity for the WHOLE PDA SA layer aggregation
+    path: a reference-shaped torch twin of
+    ``PointnetSAModuleMSG_WithSampling_Ellipsoid`` (pointnet2_modules.py:
+    541-954 — grouper channels [abs_xyz|density|dir|feats], DensityNet
+    scaling, RPPE position MLP, broadcast global MLP, 4d-concat pre-norm
+    transformer over K, maxpool, fin_conv, aggregation + confidence
+    stacks) is run on random data with randomized BN running stats; its
+    state_dict is converted via ``convert_sa_ellipsoid`` and the flax
+    ``SAModuleEllipsoid`` must reproduce new_features and cls_preds.
+
+    Sampling + ball query come from this repo's ops on BOTH sides (those
+    are oracle-tested against the CUDA semantics separately), so this
+    test pins the branch plumbing: channel concat order, density
+    normalization, RPPE layout, global broadcast, token axis."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from ckpt_converter import TorchTree, convert_sa_ellipsoid
+
+    from pdanet_tpu.models.backbones_3d.iassd_backbone import SAModuleEllipsoid
+    from pdanet_tpu.ops.ball_query import ball_query
+    from pdanet_tpu.ops.sampling import farthest_point_sample
+
+    B, N, M, C = 2, 48, 12, 16
+    radii, nsamples = [0.5, 1.0], [4, 8]
+    mlps = [[16, 24], [16, 24]]  # d=16, out=24 per scale
+    agg_mlp, conf_mlp, num_class = [20], [12], 3
+
+    torch.manual_seed(2)
+
+    def _seq2d(chans):
+        layers = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [torch.nn.Conv2d(cin, cout, 1, bias=False),
+                       torch.nn.BatchNorm2d(cout), torch.nn.ReLU()]
+        return torch.nn.Sequential(*layers)
+
+    def _seq1d(chans, final=None):
+        layers = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [torch.nn.Conv1d(cin, cout, 1, bias=False),
+                       torch.nn.BatchNorm1d(cout), torch.nn.ReLU()]
+        if final is not None:
+            layers.append(torch.nn.Conv1d(chans[-1], final, 1, bias=True))
+        return torch.nn.Sequential(*layers)
+
+    class RefDensity(torch.nn.Module):
+        # PointConvDensitySetAbstraction + DensityNet as executed
+        # (pointnet2_modules.py:956-1006): all-ReLU, max-normalized input
+        def __init__(self):
+            super().__init__()
+            dn = torch.nn.Module()
+            dn.mlp_convs = torch.nn.ModuleList(
+                [torch.nn.Conv2d(a, b, 1) for a, b in
+                 ((1, 16), (16, 8), (8, 1))])
+            dn.mlp_bns = torch.nn.ModuleList(
+                [torch.nn.BatchNorm2d(c) for c in (16, 8, 1)])
+            self.densitynet = dn
+
+        def forward(self, grouped_density):  # (B, 1, M, K)
+            x = grouped_density / grouped_density.max(dim=3, keepdim=True)[0]
+            for conv, bn in zip(self.densitynet.mlp_convs,
+                                self.densitynet.mlp_bns):
+                x = torch.relu(bn(conv(x)))
+            return x
+
+    class RefPreNorm(torch.nn.Module):
+        # PointFormer.py:7-39, dropout inert in eval
+        def __init__(self, d_model, nhead, dim_ff):
+            super().__init__()
+            self.self_attn = torch.nn.MultiheadAttention(d_model, nhead)
+            self.linear1 = torch.nn.Linear(d_model, dim_ff)
+            self.linear2 = torch.nn.Linear(dim_ff, d_model)
+            self.norm1 = torch.nn.LayerNorm(d_model)
+            self.norm2 = torch.nn.LayerNorm(d_model)
+
+        def forward(self, src):
+            src = self.norm1(src)
+            src2, _ = self.self_attn(src, src, src)
+            src = src + src2
+            src = self.norm2(src)
+            return src + self.linear2(torch.relu(self.linear1(src)))
+
+    class RefEllipsoidSA(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = mlps[0][0]
+            n_sc = len(radii)
+            self.position_mlp = torch.nn.ModuleList(
+                [_seq2d([12, d // 2, d]) for _ in range(n_sc)])
+            self.global_mlps = torch.nn.ModuleList(
+                [_seq2d([3 + C, d, d]) for _ in range(n_sc)])
+            self.point_density = torch.nn.ModuleList(
+                [RefDensity() for _ in range(n_sc)])
+            self.Local_pointformer = torch.nn.ModuleList(
+                [RefPreNorm(4 * d, 4, 2 * d) for _ in range(n_sc)])
+            self.fin_conv = torch.nn.ModuleList(
+                [_seq2d([4 * d, 2 * d, mlps[i][-1]]) for i in range(n_sc)])
+            out_ch = sum(m[-1] for m in mlps)
+            self.aggregation_layer = _seq1d([out_ch] + agg_mlp)
+            self.confidence_layers = _seq1d(
+                [agg_mlp[-1]] + conf_mlp, final=num_class)
+
+        def forward(self, xyz, feats_cf, fps_idx, idx_list):
+            # xyz (B,N,3); feats_cf (B,C,N); fps_idx (B,M); idx (B,M,K)
+            def gather_cf(t, idx):  # (B,C,N) x (B,M) -> (B,C,M)
+                return torch.gather(
+                    t, 2, idx[:, None, :].expand(t.shape[0], t.shape[1], -1))
+
+            def group_cf(t, idx):  # (B,C,N) x (B,M,K) -> (B,C,M,K)
+                Bs, Cs, _ = t.shape
+                Ms, Ks = idx.shape[1:]
+                flat = torch.gather(
+                    t, 2, idx.reshape(Bs, 1, Ms * Ks).expand(Bs, Cs, -1))
+                return flat.reshape(Bs, Cs, Ms, Ks)
+
+            new_xyz = gather_cf(xyz.transpose(1, 2), fps_idx).transpose(1, 2)
+            new_feat_cf = gather_cf(feats_cf, fps_idx)  # (B,C,M)
+            global_feature = torch.cat(
+                [new_xyz, new_feat_cf.transpose(1, 2)], dim=-1
+            ).transpose(1, 2).unsqueeze(-1)  # (B, 3+C, M, 1)
+            outs = []
+            for i, (radius, K) in enumerate(zip(radii, nsamples)):
+                idx = idx_list[i]
+                grouped_xyz = group_cf(xyz.transpose(1, 2), idx)  # (B,3,M,K)
+                dist = torch.norm(
+                    grouped_xyz.permute(0, 2, 3, 1) - new_xyz.unsqueeze(2),
+                    dim=-1)
+                density = (torch.exp(-dist ** 2 / (2 * radius ** 2))
+                           / (2.5 * radius))[:, None]  # (B,1,M,K)
+                direction = (grouped_xyz
+                             - new_xyz.transpose(1, 2).unsqueeze(-1)) / radius
+                grouped_feats = group_cf(feats_cf, idx)  # (B,C,M,K)
+                g_k = self.global_mlps[i](global_feature).repeat(1, 1, 1, K)
+                dens_scale = self.point_density[i](density)
+                dens_feat = grouped_feats * dens_scale
+                ext = new_xyz.unsqueeze(-2).expand(B, M, K, 3)
+                new_xyz_k = grouped_xyz.permute(0, 2, 3, 1)
+                rppe = torch.cat(
+                    [ext, new_xyz_k, ext - new_xyz_k,
+                     direction.permute(0, 2, 3, 1)], dim=-1)
+                rppe = self.position_mlp[i](rppe.permute(0, 3, 1, 2))
+                inp = torch.cat([rppe, dens_feat, grouped_feats, g_k], dim=1)
+                D = inp.shape[1]
+                tokens = inp.permute(0, 2, 1, 3).reshape(-1, D, K).permute(
+                    2, 0, 1)
+                tf = self.Local_pointformer[i](tokens).permute(
+                    1, 2, 0).reshape(B, M, D, K).transpose(1, 2)
+                pooled = F.max_pool2d(tf, kernel_size=[1, K])
+                outs.append(self.fin_conv[i](pooled).squeeze(-1))
+            nf = self.aggregation_layer(torch.cat(outs, dim=1))
+            cls = self.confidence_layers(nf).transpose(1, 2)
+            return new_xyz, nf, cls
+
+    ref = RefEllipsoidSA()
+    with torch.no_grad():  # real eval-mode BN stats
+        for mod in ref.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    rng = np.random.RandomState(7)
+    xyz = rng.rand(B, N, 3).astype(np.float32) * 2.0
+    feats = rng.randn(B, N, C).astype(np.float32)
+
+    fps_idx = np.asarray(farthest_point_sample(jnp.asarray(xyz), M))
+    new_xyz_np = np.take_along_axis(xyz, fps_idx[..., None], axis=1)
+    idx_list = [
+        np.asarray(ball_query(r, k, jnp.asarray(xyz),
+                              jnp.asarray(new_xyz_np)))
+        for r, k in zip(radii, nsamples)
+    ]
+
+    with torch.no_grad():
+        t_new_xyz, t_nf, t_cls = ref(
+            torch.from_numpy(xyz),
+            torch.from_numpy(feats.transpose(0, 2, 1).copy()),
+            torch.from_numpy(fps_idx.astype(np.int64)),
+            [torch.from_numpy(i.astype(np.int64)) for i in idx_list],
+        )
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_sa_ellipsoid(
+        TorchTree(sd), mlps, agg_mlp, conf_mlp)
+
+    blk = SAModuleEllipsoid(
+        npoint_list=[M], sample_range_list=[-1], sample_type_list=["D-FPS"],
+        radii=radii, nsamples=nsamples, mlps=mlps,
+        aggregation_mlp=agg_mlp, confidence_mlp=conf_mlp,
+        num_class=num_class)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    new_xyz_j, nf_j, cls_j, samp_idx = blk.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(feats), train=False)
+
+    np.testing.assert_array_equal(np.asarray(samp_idx), fps_idx)
+    np.testing.assert_allclose(
+        np.asarray(new_xyz_j), t_new_xyz.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(nf_j).transpose(0, 2, 1), t_nf.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(cls_j), t_cls.numpy(), atol=2e-4)
+
+
+def test_sa_withsampling_torch_activation_parity():
+    """Activation parity for the IA-SSD SA layer (pointnet2_modules.py:
+    1417-1686, layers 0/5): QueryAndGroup rel-xyz grouping, per-scale
+    shared Conv2d-BN-ReLU MLP + maxpool over K, concat scales,
+    aggregation + confidence Conv1d stacks — torch twin state_dict
+    converted via ``convert_sa_withsampling``."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from ckpt_converter import TorchTree, convert_sa_withsampling
+
+    from pdanet_tpu.models.backbones_3d.iassd_backbone import SAModuleWithSampling
+    from pdanet_tpu.ops.ball_query import ball_query
+    from pdanet_tpu.ops.sampling import farthest_point_sample
+
+    B, N, M, C = 2, 40, 10, 8
+    radii, nsamples = [0.6, 1.2], [4, 8]
+    mlps = [[C + 3, 12, 16], [C + 3, 12, 16]]
+    agg_mlp, conf_mlp, num_class = [24], [12], 3
+
+    torch.manual_seed(3)
+
+    def _seq2d(chans):
+        layers = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [torch.nn.Conv2d(cin, cout, 1, bias=False),
+                       torch.nn.BatchNorm2d(cout), torch.nn.ReLU()]
+        return torch.nn.Sequential(*layers)
+
+    def _seq1d(chans, final=None):
+        layers = []
+        for cin, cout in zip(chans[:-1], chans[1:]):
+            layers += [torch.nn.Conv1d(cin, cout, 1, bias=False),
+                       torch.nn.BatchNorm1d(cout), torch.nn.ReLU()]
+        if final is not None:
+            layers.append(torch.nn.Conv1d(chans[-1], final, 1, bias=True))
+        return torch.nn.Sequential(*layers)
+
+    class RefSA(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlps = torch.nn.ModuleList([_seq2d(m) for m in mlps])
+            out_ch = sum(m[-1] for m in mlps)
+            self.aggregation_layer = _seq1d([out_ch] + agg_mlp)
+            self.confidence_layers = _seq1d(
+                [agg_mlp[-1]] + conf_mlp, final=num_class)
+
+        def forward(self, xyz, feats_cf, fps_idx, idx_list):
+            def gather_cf(t, idx):
+                return torch.gather(
+                    t, 2, idx[:, None, :].expand(t.shape[0], t.shape[1], -1))
+
+            def group_cf(t, idx):
+                Bs, Cs, _ = t.shape
+                Ms, Ks = idx.shape[1:]
+                flat = torch.gather(
+                    t, 2, idx.reshape(Bs, 1, Ms * Ks).expand(Bs, Cs, -1))
+                return flat.reshape(Bs, Cs, Ms, Ks)
+
+            new_xyz = gather_cf(xyz.transpose(1, 2), fps_idx).transpose(1, 2)
+            outs = []
+            for i, K in enumerate(nsamples):
+                idx = idx_list[i]
+                # QueryAndGroup (pointnet2_utils.py:671): rel xyz + feats
+                grouped_xyz = (group_cf(xyz.transpose(1, 2), idx)
+                               - new_xyz.transpose(1, 2).unsqueeze(-1))
+                grouped = torch.cat(
+                    [grouped_xyz, group_cf(feats_cf, idx)], dim=1)
+                h = self.mlps[i](grouped)
+                outs.append(
+                    F.max_pool2d(h, kernel_size=[1, K]).squeeze(-1))
+            nf = self.aggregation_layer(torch.cat(outs, dim=1))
+            cls = self.confidence_layers(nf).transpose(1, 2)
+            return new_xyz, nf, cls
+
+    ref = RefSA()
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    rng = np.random.RandomState(11)
+    xyz = rng.rand(B, N, 3).astype(np.float32) * 2.0
+    feats = rng.randn(B, N, C).astype(np.float32)
+
+    fps_idx = np.asarray(farthest_point_sample(jnp.asarray(xyz), M))
+    new_xyz_np = np.take_along_axis(xyz, fps_idx[..., None], axis=1)
+    idx_list = [
+        np.asarray(ball_query(r, k, jnp.asarray(xyz),
+                              jnp.asarray(new_xyz_np)))
+        for r, k in zip(radii, nsamples)
+    ]
+
+    with torch.no_grad():
+        t_new_xyz, t_nf, t_cls = ref(
+            torch.from_numpy(xyz),
+            torch.from_numpy(feats.transpose(0, 2, 1).copy()),
+            torch.from_numpy(fps_idx.astype(np.int64)),
+            [torch.from_numpy(i.astype(np.int64)) for i in idx_list],
+        )
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_sa_withsampling(
+        TorchTree(sd), mlps, agg_mlp, conf_mlp)
+
+    blk = SAModuleWithSampling(
+        npoint_list=[M], sample_range_list=[-1], sample_type_list=["D-FPS"],
+        radii=radii, nsamples=nsamples, mlps=mlps,
+        aggregation_mlp=agg_mlp, confidence_mlp=conf_mlp,
+        num_class=num_class)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    new_xyz_j, nf_j, cls_j, samp_idx = blk.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(feats), train=False)
+
+    np.testing.assert_array_equal(np.asarray(samp_idx), fps_idx)
+    np.testing.assert_allclose(
+        np.asarray(new_xyz_j), t_new_xyz.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(nf_j).transpose(0, 2, 1), t_nf.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cls_j), t_cls.numpy(), atol=1e-4)
+
+
+def test_vote_layer_torch_activation_parity():
+    """Vote_layer (pointnet2_modules.py:1689-1753) twin: Conv1d-BN-ReLU
+    mlp + ctr_reg Conv1d(bias), per-axis offset clamp; converted via
+    ``convert_vote_layer``."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_vote_layer
+
+    from pdanet_tpu.models.backbones_3d.iassd_backbone import VoteLayer
+
+    B, N, C = 2, 16, 24
+    mlp_list = [12]
+    max_range = [3.0, 3.0, 2.0]
+    torch.manual_seed(4)
+
+    class RefVote(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlp_modules = torch.nn.Sequential(
+                torch.nn.Conv1d(C, mlp_list[0], 1, bias=False),
+                torch.nn.BatchNorm1d(mlp_list[0]), torch.nn.ReLU())
+            self.ctr_reg = torch.nn.Conv1d(mlp_list[0], 3, 1)
+
+        def forward(self, xyz, feats_cf):
+            h = self.mlp_modules(feats_cf)
+            off = self.ctr_reg(h).transpose(1, 2)  # (B,N,3)
+            lim = torch.tensor(max_range).view(1, 1, 3)
+            off_lim = torch.where(off > lim, lim, off)
+            off_lim = torch.where(off_lim < -lim, -lim, off_lim)
+            return xyz + off_lim, xyz, off
+
+    ref = RefVote()
+    with torch.no_grad():
+        bn = ref.mlp_modules[1]
+        bn.running_mean.uniform_(-0.2, 0.2)
+        bn.running_var.uniform_(0.5, 2.0)
+        # make some raw offsets exceed the clamp so the clamp is exercised
+        ref.ctr_reg.bias.uniform_(-4.0, 4.0)
+    ref.eval()
+
+    rng = np.random.RandomState(13)
+    xyz = rng.rand(B, N, 3).astype(np.float32) * 2.0
+    feats = rng.randn(B, N, C).astype(np.float32)
+
+    with torch.no_grad():
+        t_vote, t_xyz, t_off = ref(
+            torch.from_numpy(xyz),
+            torch.from_numpy(feats.transpose(0, 2, 1).copy()))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_vote_layer(TorchTree(sd), mlp_list)
+
+    blk = VoteLayer(mlp_list=mlp_list, max_translate_range=max_range)
+    vote_j, xyz_j, off_j = blk.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(xyz), jnp.asarray(feats), train=False)
+
+    np.testing.assert_allclose(np.asarray(off_j), t_off.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vote_j), t_vote.numpy(), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(xyz_j), xyz)
+
+
+def test_binori_coder_torch_parity():
+    """encode/decode vs a verbatim-math torch twin of
+    ``PointResidual_BinOri_Coder`` (box_coder_utils.py:224-319): mean-size
+    diagonal normalization, bin floor/residual normalization on encode,
+    argmax-bin + half-interval reconstruction on decode."""
+    torch = pytest.importorskip("torch")
+
+    from pdanet_tpu.utils.box_coder_utils import build_box_coder
+
+    mean_size = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+    nbin = 12
+    coder = build_box_coder(
+        "PointResidual_BinOri_Coder",
+        {"angle_bin_num": nbin, "use_mean_size": True,
+         "mean_size": mean_size},
+    )
+    bin_inter = 2 * np.pi / nbin
+    ms = torch.tensor(mean_size)
+
+    def ref_encode(gt, pts, cls):
+        gt = gt.clone()
+        gt[:, 3:6] = torch.clamp_min(gt[:, 3:6], min=1e-5)
+        xg, yg, zg, dxg, dyg, dzg, rg = torch.split(gt[:, :7], 1, dim=-1)
+        xa, ya, za = torch.split(pts, 1, dim=-1)
+        anchor = ms[cls - 1]
+        dxa, dya, dza = torch.split(anchor, 1, dim=-1)
+        diag = torch.sqrt(dxa ** 2 + dya ** 2)
+        rg = torch.clamp(rg, max=np.pi - 1e-5, min=-np.pi + 1e-5)
+        bin_id = torch.floor((rg + np.pi) / bin_inter)
+        bin_res = ((rg + np.pi) - (bin_id * bin_inter + bin_inter / 2)) / (
+            bin_inter / 2)
+        return torch.cat(
+            [(xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza,
+             torch.log(dxg / dxa), torch.log(dyg / dya),
+             torch.log(dzg / dza), bin_id, bin_res], dim=-1)
+
+    def ref_decode(enc, pts, cls):
+        xt, yt, zt, dxt, dyt, dzt = torch.split(enc[..., :6], 1, dim=-1)
+        xa, ya, za = torch.split(pts, 1, dim=-1)
+        anchor = ms[cls - 1]
+        dxa, dya, dza = torch.split(anchor, 1, dim=-1)
+        diag = torch.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diag + xa
+        yg = yt * diag + ya
+        zg = zt * dza + za
+        dxg = torch.exp(dxt) * dxa
+        dyg = torch.exp(dyt) * dya
+        dzg = torch.exp(dzt) * dza
+        _, bin_id = torch.max(enc[..., 6:6 + nbin], dim=-1)
+        one_hot = torch.nn.functional.one_hot(bin_id.long(), nbin).float()
+        bin_res = torch.sum(enc[..., 6 + nbin:] * one_hot, dim=-1)
+        rg = (bin_id.float() * bin_inter - np.pi + bin_inter / 2
+              + bin_res * (bin_inter / 2)).unsqueeze(-1)
+        return torch.cat([xg, yg, zg, dxg, dyg, dzg, rg], dim=-1)
+
+    rng = np.random.RandomState(5)
+    n = 64
+    boxes = np.stack(
+        [rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+         rng.uniform(-2, 1, n), rng.uniform(1, 5, n),
+         rng.uniform(0.5, 2.5, n), rng.uniform(1, 2, n),
+         rng.uniform(-np.pi, np.pi, n)], axis=-1).astype(np.float32)
+    pts = boxes[:, :3] + rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    classes = rng.randint(1, 4, n)
+
+    enc_ref = ref_encode(torch.from_numpy(boxes.copy()),
+                         torch.from_numpy(pts),
+                         torch.from_numpy(classes)).numpy()
+    enc = np.asarray(coder.encode(
+        jnp.asarray(boxes), jnp.asarray(pts), jnp.asarray(classes)))
+    np.testing.assert_allclose(enc, enc_ref, rtol=1e-5, atol=1e-5)
+
+    raw = rng.randn(n, coder.code_size).astype(np.float32)
+    dec_ref = ref_decode(torch.from_numpy(raw), torch.from_numpy(pts),
+                         torch.from_numpy(classes)).numpy()
+    dec = np.asarray(coder.decode(
+        jnp.asarray(raw), jnp.asarray(pts), jnp.asarray(classes)))
+    np.testing.assert_allclose(dec, dec_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_densitynet_torch_activation_parity():
     """DensityNet vs a reference-shaped torch twin (pointnet2_modules.py:
     956-979): Conv2d-1x1 + BatchNorm2d + ReLU for every layer including
