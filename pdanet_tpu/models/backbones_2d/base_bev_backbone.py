@@ -15,6 +15,9 @@ import numpy as np
 class ConvBNReLU(nn.Module):
     features: int
     stride: int = 1
+    # flax 0.99 == the reference's torch momentum 0.01
+    # (base_bev_backbone.py:37); override via BACKBONE_2D.BN_MOMENTUM
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -23,8 +26,8 @@ class ConvBNReLU(nn.Module):
             padding=((1, 1), (1, 1)), use_bias=False, name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            name="bn",
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=1e-3, name="bn",
         )(x)
         return nn.relu(x)
 
@@ -43,16 +46,18 @@ class BaseBEVBackbone(nn.Module):
         num_filters = list(cfg.get("NUM_FILTERS", []) or [])
         upsample_strides = list(cfg.get("UPSAMPLE_STRIDES", []) or [])
         num_up_filters = list(cfg.get("NUM_UPSAMPLE_FILTERS", []) or [])
+        bn_m = float(cfg.get("BN_MOMENTUM", 0.99))
 
         ups = []
         for idx in range(len(layer_nums)):
             x = ConvBNReLU(
                 num_filters[idx], stride=layer_strides[idx],
-                name=f"blocks_{idx}_down",
+                name=f"blocks_{idx}_down", bn_momentum=bn_m,
             )(x, train)
             for k in range(layer_nums[idx]):
                 x = ConvBNReLU(
-                    num_filters[idx], name=f"blocks_{idx}_{k}"
+                    num_filters[idx], name=f"blocks_{idx}_{k}",
+                    bn_momentum=bn_m,
                 )(x, train)
             if upsample_strides:
                 stride = upsample_strides[idx]
@@ -71,7 +76,7 @@ class BaseBEVBackbone(nn.Module):
                         use_bias=False, name=f"deblocks_{idx}_conv",
                     )(x)
                 u = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99,
+                    use_running_average=not train, momentum=bn_m,
                     epsilon=1e-3, name=f"deblocks_{idx}_bn",
                 )(u)
                 ups.append(nn.relu(u))
@@ -86,7 +91,7 @@ class BaseBEVBackbone(nn.Module):
                 name="deblocks_final_deconv",
             )(out)
             out = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                use_running_average=not train, momentum=bn_m, epsilon=1e-3,
                 name="deblocks_final_bn",
             )(out)
             out = nn.relu(out)

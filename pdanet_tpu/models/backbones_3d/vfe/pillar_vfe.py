@@ -14,13 +14,21 @@ import jax.numpy as jnp
 
 
 class PFNLayer(nn.Module):
+    """Reference quirk preserved (pillar_vfe.py:29-49): padded point rows
+    are zeroed ONCE before the PFN stack, so after Linear+BN+ReLU they
+    carry the constant ``relu(bn(linear(0)))`` "phantom" vector which
+    PARTICIPATES in the per-pillar max — non-full pillars see it, full
+    pillars don't.  A converted reference checkpoint was trained with
+    that max, so no re-masking happens here (padded pillar SLOTS are
+    dropped later by coords in pointpillar_scatter)."""
+
     out_channels: int
     use_norm: bool = True
     last_layer: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
-        # x: (B, V, P, C); mask: (B, V, P, 1)
+    def __call__(self, x, train: bool):
+        # x: (B, V, P, C)
         out = self.out_channels if self.last_layer else self.out_channels // 2
         if self.use_norm:
             h = nn.Dense(out, use_bias=False, name="linear")(x)
@@ -31,7 +39,6 @@ class PFNLayer(nn.Module):
         else:
             h = nn.Dense(out, use_bias=True, name="linear")(x)
         h = nn.relu(h)
-        h = h * mask
         h_max = jnp.max(h, axis=2, keepdims=True)  # (B, V, 1, C')
         if self.last_layer:
             return h_max
@@ -102,5 +109,5 @@ class PillarVFE(nn.Module):
                 use_norm=cfg.get("USE_NORM", True),
                 last_layer=(i >= len(num_filters) - 1),
                 name=f"pfn_layers_{i}",
-            )(features, mask, train)
+            )(features, train)
         return features[:, :, 0, :]  # (B, V, C_out)

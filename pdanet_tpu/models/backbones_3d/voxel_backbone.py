@@ -40,6 +40,10 @@ class Conv3DBNReLU(nn.Module):
     features: int
     kernel: Any = (3, 3, 3)
     stride: Any = (1, 1, 1)
+    # flax 0.99 == spconv's torch momentum 0.01 (spconv_backbone.py:73):
+    # running stats converge over ~500 steps.  BN_MOMENTUM in the backbone
+    # config overrides (fixture-scale runs need faster-settling stats).
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -48,7 +52,8 @@ class Conv3DBNReLU(nn.Module):
             strides=tuple(self.stride), padding="SAME", use_bias=False,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=1e-3,
         )(x)
         return nn.relu(x)
 
@@ -71,6 +76,7 @@ class VoxelBackBone8x(nn.Module):
         cfg = EasyDict(self.model_cfg)
         widths = list(cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64]))
         c_out = int(cfg.get("NUM_OUTPUT_FEATURES", 128))
+        bn_m = float(cfg.get("BN_MOMENTUM", 0.99))
 
         # voxel_coords None => voxel_features is already the dense grid
         # (dynamic VFEs scatter on-device)
@@ -78,17 +84,17 @@ class VoxelBackBone8x(nn.Module):
             x = voxel_features
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
-        x = Conv3DBNReLU(widths[0], name="conv_input")(x, train)
-        x1 = Conv3DBNReLU(widths[1], name="conv1")(x, train)
-        x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down")(
+        x = Conv3DBNReLU(widths[0], name="conv_input", bn_momentum=bn_m)(x, train)
+        x1 = Conv3DBNReLU(widths[1], name="conv1", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(
             x1, train)
-        x2 = Conv3DBNReLU(widths[2], name="conv2")(x, train)
-        x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down")(
+        x2 = Conv3DBNReLU(widths[2], name="conv2", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(
             x2, train)
-        x3 = Conv3DBNReLU(widths[3], name="conv3")(x, train)
-        x = Conv3DBNReLU(widths[4], stride=(2, 2, 2), name="conv4_down")(
+        x3 = Conv3DBNReLU(widths[3], name="conv3", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[4], stride=(2, 2, 2), name="conv4_down", bn_momentum=bn_m)(
             x3, train)
-        x4 = Conv3DBNReLU(widths[4], name="conv4")(x, train)
+        x4 = Conv3DBNReLU(widths[4], name="conv4", bn_momentum=bn_m)(x, train)
         # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv (ref :100-105)
         x = Conv3DBNReLU(
             c_out, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
@@ -110,17 +116,20 @@ class ResBlock3D(nn.Module):
     post-add ReLU."""
 
     features: int
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train=False):
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                     use_bias=False, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum,
                          epsilon=1e-3, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                     use_bias=False, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum,
                          epsilon=1e-3, name="bn2")(h)
         return nn.relu(x + h)
 
@@ -142,24 +151,25 @@ class VoxelResBackBone8x(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train=False):
+        bn_m = float(EasyDict(self.model_cfg).get("BN_MOMENTUM", 0.99))
         if voxel_coords is None:  # dynamic VFE: pre-scattered dense grid
             x = voxel_features
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
-        x = Conv3DBNReLU(16, name="conv_input")(x, train)
-        x1 = ResBlock3D(16, name="res1_b")(
-            ResBlock3D(16, name="res1_a")(x, train), train)
-        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(x1, train)
-        x2 = ResBlock3D(32, name="res2_b")(
-            ResBlock3D(32, name="res2_a")(x, train), train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(x2, train)
-        x3 = ResBlock3D(64, name="res3_b")(
-            ResBlock3D(64, name="res3_a")(x, train), train)
-        x = Conv3DBNReLU(128, stride=(2, 2, 2), name="conv4_down")(x3, train)
-        x4 = ResBlock3D(128, name="res4_b")(
-            ResBlock3D(128, name="res4_a")(x, train), train)
+        x = Conv3DBNReLU(16, name="conv_input", bn_momentum=bn_m)(x, train)
+        x1 = ResBlock3D(16, name="res1_b", bn_momentum=bn_m)(
+            ResBlock3D(16, name="res1_a", bn_momentum=bn_m)(x, train), train)
+        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(x1, train)
+        x2 = ResBlock3D(32, name="res2_b", bn_momentum=bn_m)(
+            ResBlock3D(32, name="res2_a", bn_momentum=bn_m)(x, train), train)
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(x2, train)
+        x3 = ResBlock3D(64, name="res3_b", bn_momentum=bn_m)(
+            ResBlock3D(64, name="res3_a", bn_momentum=bn_m)(x, train), train)
+        x = Conv3DBNReLU(128, stride=(2, 2, 2), name="conv4_down", bn_momentum=bn_m)(x3, train)
+        x4 = ResBlock3D(128, name="res4_b", bn_momentum=bn_m)(
+            ResBlock3D(128, name="res4_a", bn_momentum=bn_m)(x, train), train)
         out = Conv3DBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
-                           name="conv_out")(x4, train)
+                           name="conv_out", bn_momentum=bn_m)(x4, train)
         B, Z, Y, X, C = out.shape
         bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
         multi_scale = {

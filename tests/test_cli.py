@@ -377,11 +377,13 @@ MODEL:
         NAME: MeanVFE
     BACKBONE_3D:
         NAME: VoxelResBackBone8x
+        BN_MOMENTUM: 0.9
     MAP_TO_BEV:
         NAME: HeightCompression
         NUM_BEV_FEATURES: 128
     BACKBONE_2D:
         NAME: BaseBEVBackbone
+        BN_MOMENTUM: 0.9
         LAYER_NUMS: [2]
         LAYER_STRIDES: [1]
         NUM_FILTERS: [16]

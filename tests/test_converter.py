@@ -778,3 +778,457 @@ def test_densitynet_torch_activation_parity():
          "batch_stats": jax.tree.map(jnp.asarray, stats)},
         x_jax, train=False))
     np.testing.assert_allclose(y.transpose(0, 3, 1, 2), y_ref, atol=1e-5)
+
+
+def _emit_conv2d(sd, key, kernel, bias=None):
+    """flax Conv kernel (kh,kw,in,out) -> torch Conv2d weight."""
+    sd[key + ".weight"] = np.transpose(np.asarray(kernel), (3, 2, 0, 1))
+    if bias is not None:
+        sd[key + ".bias"] = np.asarray(bias)
+
+
+def _emit_deconv2d(sd, key, kernel):
+    """Inverse of ckpt_converter._deconv2d_kernel."""
+    k = np.asarray(kernel)[::-1, ::-1]
+    sd[key + ".weight"] = np.transpose(k, (2, 3, 0, 1))
+
+
+def test_pillar_vfe_torch_activation_parity():
+    """PillarVFE vs a verbatim-math torch twin of the reference
+    (pillar_vfe.py:8-121) including the padded-row "phantom" quirk: the
+    mask is applied ONCE before the PFN stack, so padded point rows carry
+    relu(bn(linear(0))) into the per-pillar max for non-full pillars.
+    Two PFN layers exercise the concat (non-last) path; state_dict
+    converted via ``convert_pillar_vfe``."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_pillar_vfe
+
+    from pdanet_tpu.models.backbones_3d.vfe.pillar_vfe import PillarVFE
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    V, P = 12, 6
+    voxel_size = [0.4, 0.4, 4.0]
+    pcr = [0.0, -12.8, -3.0, 25.6, 12.8, 1.0]
+    num_filters = [8, 16]
+    cfg = EasyDict({
+        "USE_NORM": True, "WITH_DISTANCE": True, "USE_ABSLOTE_XYZ": True,
+        "NUM_FILTERS": num_filters,
+    })
+    c_in = 4 + 6 + 1  # xyzi + cluster + center + dist
+
+    torch.manual_seed(6)
+
+    class RefPFN(torch.nn.Module):
+        def __init__(self, cin, cout, last):
+            super().__init__()
+            self.last = last
+            out = cout if last else cout // 2
+            self.linear = torch.nn.Linear(cin, out, bias=False)
+            self.norm = torch.nn.BatchNorm1d(out, eps=1e-3, momentum=0.01)
+
+        def forward(self, x):  # (V, P, C)
+            x = self.linear(x)
+            x = self.norm(x.permute(0, 2, 1)).permute(0, 2, 1)
+            x = torch.relu(x)
+            x_max = torch.max(x, dim=1, keepdim=True)[0]
+            if self.last:
+                return x_max
+            return torch.cat([x, x_max.repeat(1, x.shape[1], 1)], dim=2)
+
+    class RefVFE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [c_in] + num_filters
+            self.pfn_layers = torch.nn.ModuleList([
+                RefPFN(chans[i], chans[i + 1],
+                       last=(i >= len(chans) - 2))
+                for i in range(len(chans) - 1)
+            ])
+
+        def forward(self, voxels, coords, counts):
+            # voxels (V, P, 4); coords (V, 4) bzyx; counts (V,)
+            points_mean = (voxels[:, :, :3].sum(1, keepdim=True)
+                           / counts.type_as(voxels).view(-1, 1, 1))
+            f_cluster = voxels[:, :, :3] - points_mean
+            f_center = torch.zeros_like(voxels[:, :, :3])
+            f_center[:, :, 0] = voxels[:, :, 0] - (
+                coords[:, 3].type_as(voxels).unsqueeze(1) * voxel_size[0]
+                + (voxel_size[0] / 2 + pcr[0]))
+            f_center[:, :, 1] = voxels[:, :, 1] - (
+                coords[:, 2].type_as(voxels).unsqueeze(1) * voxel_size[1]
+                + (voxel_size[1] / 2 + pcr[1]))
+            f_center[:, :, 2] = voxels[:, :, 2] - (
+                coords[:, 1].type_as(voxels).unsqueeze(1) * voxel_size[2]
+                + (voxel_size[2] / 2 + pcr[2]))
+            dist = torch.norm(voxels[:, :, :3], 2, 2, keepdim=True)
+            features = torch.cat(
+                [voxels, f_cluster, f_center, dist], dim=-1)
+            mask = (torch.arange(P).view(1, P)
+                    < counts.unsqueeze(1)).unsqueeze(-1).type_as(voxels)
+            features = features * mask
+            for pfn in self.pfn_layers:
+                features = pfn(features)
+            return features.squeeze(1)  # (V, C_out)
+
+    ref = RefVFE()
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+                # negative bias would relu phantom rows to zero; keep it
+                # positive so the quirk actually bites
+                mod.bias.uniform_(0.1, 0.5)
+    ref.eval()
+
+    rng = np.random.RandomState(17)
+    voxels = rng.uniform(
+        [0, -12, -3, 0], [25, 12, 1, 1], (V, P, 4)).astype(np.float32)
+    coords = np.stack([
+        np.zeros(V, np.int32),                      # batch
+        np.zeros(V, np.int32),                      # z
+        rng.randint(0, 64, V).astype(np.int32),     # y
+        rng.randint(0, 64, V).astype(np.int32),     # x
+    ], axis=1)
+    counts = rng.randint(1, P + 1, V).astype(np.int32)
+    counts[:2] = P  # a couple of full pillars (no phantom row)
+    assert (counts < P).any()
+    pmask = np.arange(P)[None, :] < counts[:, None]
+    voxels = voxels * pmask[..., None]
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(voxels), torch.from_numpy(coords),
+                    torch.from_numpy(counts)).numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_pillar_vfe(TorchTree(sd), num_filters)
+
+    vfe = PillarVFE(model_cfg=dict(cfg), num_point_features=4,
+                    voxel_size=voxel_size, point_cloud_range=pcr)
+    y = np.asarray(vfe.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(voxels)[None], jnp.asarray(coords[:, 1:])[None],
+        jnp.asarray(counts)[None], train=False))
+    np.testing.assert_allclose(y[0], y_ref, atol=2e-5)
+
+
+def test_bev_backbone_torch_activation_parity():
+    """BaseBEVBackbone vs a reference-structured torch twin
+    (base_bev_backbone.py:6-107): ZeroPad2d+Conv blocks, ConvTranspose2d
+    deblocks (k == stride), multi-scale concat.  Pins the
+    ``_deconv2d_kernel`` spatial flip and the blocks.{i}.{1,2,4+3k,5+3k}
+    Sequential indexing via ``convert_bev_backbone``."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_bev_backbone
+
+    from pdanet_tpu.models.backbones_2d.base_bev_backbone import (
+        BaseBEVBackbone,
+    )
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    c_in, H = 6, 16
+    cfg = EasyDict({
+        "LAYER_NUMS": [1, 2], "LAYER_STRIDES": [1, 2],
+        "NUM_FILTERS": [8, 16], "UPSAMPLE_STRIDES": [1, 2],
+        "NUM_UPSAMPLE_FILTERS": [8, 8],
+    })
+    torch.manual_seed(8)
+
+    def make_block(cin, cout, stride, layer_num):
+        layers = [
+            torch.nn.ZeroPad2d(1),
+            torch.nn.Conv2d(cin, cout, 3, stride=stride, padding=0,
+                            bias=False),
+            torch.nn.BatchNorm2d(cout, eps=1e-3, momentum=0.01),
+            torch.nn.ReLU(),
+        ]
+        for _ in range(layer_num):
+            layers += [
+                torch.nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                torch.nn.BatchNorm2d(cout, eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+            ]
+        return torch.nn.Sequential(*layers)
+
+    class RefBEV(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            cins = [c_in] + list(cfg.NUM_FILTERS[:-1])
+            self.blocks = torch.nn.ModuleList([
+                make_block(cins[i], cfg.NUM_FILTERS[i],
+                           cfg.LAYER_STRIDES[i], cfg.LAYER_NUMS[i])
+                for i in range(2)
+            ])
+            self.deblocks = torch.nn.ModuleList([
+                torch.nn.Sequential(
+                    torch.nn.ConvTranspose2d(
+                        cfg.NUM_FILTERS[i], cfg.NUM_UPSAMPLE_FILTERS[i],
+                        cfg.UPSAMPLE_STRIDES[i],
+                        stride=cfg.UPSAMPLE_STRIDES[i], bias=False),
+                    torch.nn.BatchNorm2d(cfg.NUM_UPSAMPLE_FILTERS[i],
+                                         eps=1e-3, momentum=0.01),
+                    torch.nn.ReLU(),
+                ) for i in range(2)
+            ])
+
+        def forward(self, x):
+            ups = []
+            for i in range(2):
+                x = self.blocks[i](x)
+                ups.append(self.deblocks[i](x))
+            return torch.cat(ups, dim=1)
+
+    ref = RefBEV()
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    x = np.random.RandomState(19).randn(2, c_in, H, H).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()  # (B, C, H, W)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_bev_backbone(TorchTree(sd), cfg)
+
+    net = BaseBEVBackbone(model_cfg=dict(cfg), input_channels=c_in)
+    y = np.asarray(net.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), y_ref, atol=2e-5)
+
+
+def test_bev_backbone_downsample_and_final_deblock_parity():
+    """The stride<1 deblock branch (Conv2d downsample,
+    base_bev_backbone.py:60-69) and the extra final deblock
+    (len(UPSAMPLE_STRIDES) > num_levels, reference :72-78)."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_bev_backbone
+
+    from pdanet_tpu.models.backbones_2d.base_bev_backbone import (
+        BaseBEVBackbone,
+    )
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    c_in, H = 4, 16
+    cfg = EasyDict({
+        "LAYER_NUMS": [1], "LAYER_STRIDES": [1], "NUM_FILTERS": [8],
+        "UPSAMPLE_STRIDES": [0.5, 2], "NUM_UPSAMPLE_FILTERS": [8],
+    })
+    torch.manual_seed(9)
+
+    class RefBEV(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = torch.nn.ModuleList([torch.nn.Sequential(
+                torch.nn.ZeroPad2d(1),
+                torch.nn.Conv2d(c_in, 8, 3, stride=1, padding=0,
+                                bias=False),
+                torch.nn.BatchNorm2d(8, eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+                torch.nn.Conv2d(8, 8, 3, padding=1, bias=False),
+                torch.nn.BatchNorm2d(8, eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+            )])
+            self.deblocks = torch.nn.ModuleList([
+                torch.nn.Sequential(  # stride 0.5 -> Conv2d(k=2, s=2)
+                    torch.nn.Conv2d(8, 8, 2, stride=2, bias=False),
+                    torch.nn.BatchNorm2d(8, eps=1e-3, momentum=0.01),
+                    torch.nn.ReLU(),
+                ),
+                torch.nn.Sequential(  # extra final deblock
+                    torch.nn.ConvTranspose2d(8, 8, 2, stride=2,
+                                             bias=False),
+                    torch.nn.BatchNorm2d(8, eps=1e-3, momentum=0.01),
+                    torch.nn.ReLU(),
+                ),
+            ])
+
+        def forward(self, x):
+            x = self.deblocks[0](self.blocks[0](x))
+            return self.deblocks[1](x)
+
+    ref = RefBEV()
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    x = np.random.RandomState(23).randn(1, c_in, H, H).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_bev_backbone(TorchTree(sd), cfg)
+
+    net = BaseBEVBackbone(model_cfg=dict(cfg), input_channels=c_in)
+    y = np.asarray(net.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), y_ref, atol=2e-5)
+
+
+def test_pointpillar_converter_roundtrip():
+    """Full-model structural roundtrip for ``convert_pointpillar_checkpoint``
+    on the PointPillar tiny config: inverse-emit a torch-layout state_dict
+    from the real flax variables, convert, and require an exact tree/value
+    match + full key consumption + a live forward."""
+    from ckpt_converter import convert_pointpillar_checkpoint
+
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.utils.easydict import EasyDict
+    from test_pointpillar import GRID, PCR, PP_MODEL_CFG, VOXEL
+
+    cfg = EasyDict(PP_MODEL_CFG)
+    model = build_network(
+        cfg, num_class=2, input_channels=4, grid_size=GRID,
+        voxel_size=tuple(VOXEL), point_cloud_range=tuple(PCR))
+    V, P = 32, 8
+    voxels = np.zeros((1, V, P, 4), np.float32)
+    coords = np.full((1, V, 3), -1, np.int32)
+    counts = np.zeros((1, V), np.int32)
+    coords[0, :4] = [[0, 5, 7], [0, 9, 2], [0, 30, 40], [0, 63, 63]]
+    counts[0, :4] = [3, 8, 1, 5]
+    voxels[0, :4, :, :3] = np.random.RandomState(3).uniform(
+        0, 1, (4, P, 3))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(voxels), jnp.asarray(coords),
+        jnp.asarray(counts))
+    variables = jax.tree.map(np.asarray, dict(variables))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    sd = {}
+    # vfe
+    for name, lp in params["vfe"].items():
+        i = name.replace("pfn_layers_", "")
+        sd[f"vfe.pfn_layers.{i}.linear.weight"] = np.asarray(
+            lp["linear"]["kernel"]).T
+        _emit_bn(sd, f"vfe.pfn_layers.{i}.norm", lp["norm"],
+                 stats["vfe"][name]["norm"])
+    # backbone_2d
+    bb_p = params["backbone_2d"]
+    bb_s = stats["backbone_2d"]
+    bcfg = cfg.BACKBONE_2D
+    for idx in range(len(bcfg.LAYER_NUMS)):
+        _emit_conv2d(sd, f"backbone_2d.blocks.{idx}.1",
+                     bb_p[f"blocks_{idx}_down"]["conv"]["kernel"])
+        _emit_bn(sd, f"backbone_2d.blocks.{idx}.2",
+                 bb_p[f"blocks_{idx}_down"]["bn"],
+                 bb_s[f"blocks_{idx}_down"]["bn"])
+        for k in range(bcfg.LAYER_NUMS[idx]):
+            _emit_conv2d(sd, f"backbone_2d.blocks.{idx}.{4 + 3 * k}",
+                         bb_p[f"blocks_{idx}_{k}"]["conv"]["kernel"])
+            _emit_bn(sd, f"backbone_2d.blocks.{idx}.{5 + 3 * k}",
+                     bb_p[f"blocks_{idx}_{k}"]["bn"],
+                     bb_s[f"blocks_{idx}_{k}"]["bn"])
+        _emit_deconv2d(sd, f"backbone_2d.deblocks.{idx}.0",
+                       bb_p[f"deblocks_{idx}_deconv"]["kernel"])
+        _emit_bn(sd, f"backbone_2d.deblocks.{idx}.1",
+                 {"scale": bb_p[f"deblocks_{idx}_bn"]["scale"],
+                  "bias": bb_p[f"deblocks_{idx}_bn"]["bias"]},
+                 bb_s[f"deblocks_{idx}_bn"])
+    # dense head
+    for hname, hp in params["dense_head"].items():
+        _emit_conv2d(sd, f"dense_head.{hname}", hp["kernel"], hp["bias"])
+
+    sd = TrackingDict(sd)
+    converted = convert_pointpillar_checkpoint(sd, cfg)
+
+    unread = set(sd.keys()) - sd.read
+    assert not unread, sorted(unread)[:10]
+
+    for col in ("params", "batch_stats"):
+        want = _tree_paths(variables[col])
+        got = _tree_paths(converted[col])
+        assert set(want) == set(got), (
+            sorted(set(want) ^ set(got))[:10])
+        for path, arr in want.items():
+            np.testing.assert_allclose(
+                np.asarray(got[path]), np.asarray(arr), rtol=1e-6,
+                err_msg=str(path))
+
+    out = model.apply(
+        converted, jnp.asarray(voxels), jnp.asarray(coords),
+        jnp.asarray(counts), train=False)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_second_backbone_converter_structure():
+    """``convert_voxel_backbone_dense`` maps the reference's spconv
+    VoxelBackBone8x key schema (spconv_backbone.py:70-120: conv_input,
+    conv{1..4} post_act_block stacks, conv_out) onto the dense flax
+    analogue: tree paths match the real model init, the second subm block
+    of each level (conv{L}.2.*) is the only unconsumed remainder, and
+    spconv 2.x native (out, in)-minor weights are transposed."""
+    from ckpt_converter import TorchTree, convert_voxel_backbone_dense
+
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import VoxelBackBone8x
+
+    widths = [4, 4, 8, 12, 12]
+    c_out = 16
+    c_in = 4
+    grid = (16, 16, 8)  # nx, ny, nz
+    rng = np.random.RandomState(29)
+
+    def emit_seq(sd, prefix, cin, cout, k=(3, 3, 3)):
+        sd[prefix + ".0.weight"] = rng.randn(*k, cin, cout).astype(
+            np.float32)
+        sd[prefix + ".1.weight"] = rng.rand(cout).astype(np.float32)
+        sd[prefix + ".1.bias"] = rng.randn(cout).astype(np.float32)
+        sd[prefix + ".1.running_mean"] = rng.randn(cout).astype(np.float32)
+        sd[prefix + ".1.running_var"] = rng.rand(cout).astype(np.float32)
+
+    sd = {}
+    emit_seq(sd, "conv_input", c_in, widths[0])
+    emit_seq(sd, "conv1.0", widths[0], widths[1])
+    for lvl, cin, cout in (("conv2", widths[1], widths[2]),
+                           ("conv3", widths[2], widths[3]),
+                           ("conv4", widths[3], widths[4])):
+        emit_seq(sd, f"{lvl}.0", cin, cout)
+        emit_seq(sd, f"{lvl}.1", cout, cout)
+        emit_seq(sd, f"{lvl}.2", cout, cout)  # dropped by design
+    emit_seq(sd, "conv_out", widths[4], c_out, k=(3, 1, 1))
+
+    tracking = TrackingDict(sd)
+    params, stats = convert_voxel_backbone_dense(
+        TorchTree(tracking), widths, c_out, input_channels=c_in)
+
+    unread = {k.rsplit(".", 2)[0] for k in set(sd) - tracking.read}
+    assert unread == {"conv2.2", "conv3.2", "conv4.2"}, sorted(unread)
+
+    model = VoxelBackBone8x(
+        model_cfg={"NUM_FILTERS": widths, "NUM_OUTPUT_FEATURES": c_out},
+        input_channels=c_in, grid_size=grid)
+    vox = jnp.zeros((1, 32, c_in))
+    coords = jnp.zeros((1, 32, 3), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), vox, coords)
+
+    for col, tree in (("params", params), ("batch_stats", stats)):
+        want = set(_tree_paths(dict(variables[col])))
+        got = set(_tree_paths(tree))
+        assert want == got, sorted(want ^ got)[:10]
+
+    # shape sanity through a live apply
+    out = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        vox, coords, train=False)
+
+    # spconv 2.x native layout: (k,k,k,out,in) gets transposed back
+    w2 = rng.randn(3, 3, 3, widths[2], widths[1]).astype(np.float32)
+    sd2 = dict(sd)
+    sd2["conv2.0.0.weight"] = w2
+    p2, _ = convert_voxel_backbone_dense(
+        TorchTree(sd2), widths, c_out, input_channels=c_in)
+    np.testing.assert_array_equal(
+        p2["conv2_down"]["Conv_0"]["kernel"], np.swapaxes(w2, -1, -2))

@@ -168,7 +168,9 @@ def test_pointpillar_overfit_produces_detections(tmp_path):
     from test_cli import PP_TINY_CFG
 
     root, cfg = _build_fixture(tmp_path, PP_TINY_CFG)
-    model, trained, loss, tb = _overfit(cfg, root, epochs=120)
+    # 120 epochs overfits the loss (~0.78) but anchor cls confidence is
+    # still ~0.27; 300 epochs clears the 0.3 score gate with margin
+    model, trained, loss, tb = _overfit(cfg, root, epochs=300)
     car_frames, total = _detect_cars(cfg, root, model, trained)
     assert total == 4
     assert car_frames == 4, f"car found in {car_frames}/4 frames"
@@ -176,10 +178,17 @@ def test_pointpillar_overfit_produces_detections(tmp_path):
 
 @pytest.mark.slow
 def test_centerpoint_overfit_produces_detections(tmp_path):
+    """Round-2 finding: at default (spconv-parity) BN momentum 0.99 the
+    running statistics settle over ~500 steps, so a short fixture run
+    evals through stats that are still ~20% at their init — train-mode
+    predictions match targets exactly while eval-mode dims come out 3x
+    off (the torch reference behaves identically at momentum 0.01).  The
+    tiny config sets BN_MOMENTUM 0.9 so eval statistics converge at
+    fixture step counts."""
     from test_cli import CP_TINY_CFG
 
     root, cfg = _build_fixture(tmp_path, CP_TINY_CFG)
-    model, trained, loss, tb = _overfit(cfg, root, epochs=120)
+    model, trained, loss, tb = _overfit(cfg, root, epochs=150)
     car_frames, total = _detect_cars(cfg, root, model, trained)
     assert total == 4
     assert car_frames == 4, f"car found in {car_frames}/4 frames"

@@ -185,6 +185,211 @@ def convert_vote_layer(tree, mlp_list):
     return params, stats
 
 
+def _conv2d_kernel(w):
+    """torch Conv2d weight (out, in, kh, kw) -> flax Conv kernel
+    (kh, kw, in, out)."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _deconv2d_kernel(w):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out).
+
+    flax's ConvTranspose (transpose_kernel=False) runs an input-dilated
+    correlation, which is the torch gradient-of-conv semantics with the
+    spatial axes mirrored — so the taps are flipped here (verified by the
+    activation-parity test in tests/test_converter.py)."""
+    w = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return w[::-1, ::-1]
+
+
+def convert_pillar_vfe(tree, num_filters):
+    """PillarVFE pfn_layers.{i}.{linear,norm} (pillar_vfe.py PFNLayer) ->
+    flax PFNLayer {linear, norm}."""
+    params, stats = {}, {}
+    for i in range(len(num_filters)):
+        lt = tree.sub(f"pfn_layers.{i}")
+        lp = {"linear": {"kernel": lt.sub("linear")["weight"].T}}
+        if "linear.bias" in lt:
+            lp["linear"]["bias"] = lt.sub("linear")["bias"]
+        ls = {}
+        if "norm.weight" in lt:
+            _bn(lt.sub("norm"), lp, ls, name="norm")
+        params[f"pfn_layers_{i}"] = lp
+        stats[f"pfn_layers_{i}"] = ls
+    return params, stats
+
+
+def convert_bev_backbone(tree, cfg):
+    """BaseBEVBackbone blocks.{i}/deblocks.{i} Sequentials
+    (base_bev_backbone.py:30-80; ZeroPad2d offsets the first conv to
+    index 1) -> flax blocks_{i}_down / blocks_{i}_{k} / deblocks_{i}_*."""
+    layer_nums = list(cfg.get("LAYER_NUMS", []) or [])
+    upsample_strides = list(cfg.get("UPSAMPLE_STRIDES", []) or [])
+    params, stats = {}, {}
+
+    def conv_bn(conv_tree, bn_tree, name, kernel_fn=_conv2d_kernel):
+        lp = {"conv": {"kernel": kernel_fn(conv_tree["weight"])}}
+        ls = {}
+        _bn(bn_tree, lp, ls)
+        params[name] = lp
+        stats[name] = ls
+
+    for idx in range(len(layer_nums)):
+        bt = tree.sub(f"blocks.{idx}")
+        conv_bn(bt.sub("1"), bt.sub("2"), f"blocks_{idx}_down")
+        for k in range(layer_nums[idx]):
+            conv_bn(bt.sub(str(4 + 3 * k)), bt.sub(str(5 + 3 * k)),
+                    f"blocks_{idx}_{k}")
+        if upsample_strides:
+            dt = tree.sub(f"deblocks.{idx}")
+            if upsample_strides[idx] >= 1:
+                params[f"deblocks_{idx}_deconv"] = {
+                    "kernel": _deconv2d_kernel(dt.sub("0")["weight"])
+                }
+            else:
+                params[f"deblocks_{idx}_conv"] = {
+                    "kernel": _conv2d_kernel(dt.sub("0")["weight"])
+                }
+            bp, bs = {}, {}
+            _bn(dt.sub("1"), bp, bs)
+            params[f"deblocks_{idx}_bn"] = bp["bn"]
+            stats[f"deblocks_{idx}_bn"] = bs["bn"]
+    if len(upsample_strides) > len(layer_nums):
+        dt = tree.sub(f"deblocks.{len(layer_nums)}")
+        params["deblocks_final_deconv"] = {
+            "kernel": _deconv2d_kernel(dt.sub("0")["weight"])
+        }
+        bp, bs = {}, {}
+        _bn(dt.sub("1"), bp, bs)
+        params["deblocks_final_bn"] = bp["bn"]
+        stats["deblocks_final_bn"] = bs["bn"]
+    return params, stats
+
+
+def convert_anchor_head_single(tree):
+    """AnchorHeadSingle conv_cls/conv_box/conv_dir_cls 1x1 Conv2d
+    (anchor_head_single.py:30-43) -> flax AnchorHeadSingleNet."""
+    params = {}
+    for name in ("conv_cls", "conv_box", "conv_dir_cls"):
+        if f"{name}.weight" in tree:
+            sub = tree.sub(name)
+            params[name] = {
+                "kernel": _conv2d_kernel(sub["weight"]),
+                "bias": sub["bias"],
+            }
+    return params
+
+
+def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
+    """Reference VoxelBackBone8x (spconv_backbone.py:70-120) onto the
+    DENSE flax analogue ``voxel_backbone.VoxelBackBone8x``.
+
+    Structure note: the reference runs down + 2 subm blocks per level
+    (conv2/3/4); the dense analogue runs down + 1 subm, so the SECOND
+    subm block of each level (conv{L}.2.*) has no dense target and is
+    dropped — dense conversion is approximate by design (the
+    semantics-matching target is SparseVoxelBackBone8x).  conv{L}.1 maps
+    onto the analogue's subm block."""
+
+    def conv3d_kernel(w, cin, cout):
+        """spconv Conv3d weight -> flax Conv kernel (k1, k2, k3, in, out).
+        Accepts the layouts the reference's load shim handles
+        (detector3d_template.py ckpt load):
+          spconv 1.x            (k1, k2, k3, in, out)  — already flax layout
+          spconv 2.x native     (k1, k2, k3, out, in)
+          spconv 2.x implicit   (out, k1, k2, k3, in)
+        Disambiguated by the caller-known (in, out) channel pair; when
+        cin == cout the 1.x and 2.x-native layouts coincide shape-wise
+        and 1.x is assumed (the published reference checkpoints)."""
+        w = np.asarray(w)
+        if w.shape[-2:] == (cin, cout):  # spconv 1.x == flax layout
+            return w
+        if w.shape[-2:] == (cout, cin):  # spconv 2.x native
+            return np.swapaxes(w, -1, -2)
+        if w.shape[0] == cout and w.shape[-1] == cin:  # implicit gemm
+            return np.moveaxis(w, 0, -1).swapaxes(-1, -2)
+        raise ValueError(
+            f"unrecognized spconv weight shape {w.shape} for "
+            f"cin={cin} cout={cout}")
+
+    params, stats = {}, {}
+
+    def seq(conv_tree, bn_tree, name, cin, cout):
+        params[name] = {
+            "Conv_0": {"kernel": conv3d_kernel(conv_tree["weight"],
+                                               cin, cout)},
+            "BatchNorm_0": {"scale": bn_tree["weight"],
+                            "bias": bn_tree["bias"]},
+        }
+        stats[name] = {"BatchNorm_0": {"mean": bn_tree["running_mean"],
+                                       "var": bn_tree["running_var"]}}
+
+    # conv_input: SubM(Cin->w0); conv1: 1 subm block (w0->w1)
+    seq(tree.sub("conv_input.0"), tree.sub("conv_input.1"), "conv_input",
+        input_channels, widths[0])
+    seq(tree.sub("conv1.0.0"), tree.sub("conv1.0.1"), "conv1",
+        widths[0], widths[1])
+    pairs = [("conv2", widths[1], widths[2]),
+             ("conv3", widths[2], widths[3]),
+             ("conv4", widths[3], widths[4])]
+    for lvl, cin, cout in pairs:
+        seq(tree.sub(f"{lvl}.0.0"), tree.sub(f"{lvl}.0.1"), f"{lvl}_down",
+            cin, cout)
+        seq(tree.sub(f"{lvl}.1.0"), tree.sub(f"{lvl}.1.1"), lvl,
+            cout, cout)
+    seq(tree.sub("conv_out.0"), tree.sub("conv_out.1"), "conv_out",
+        widths[4], c_out)
+    return params, stats
+
+
+def convert_pointpillar_checkpoint(state_dict, model_cfg):
+    """PointPillar: vfe + backbone_2d + dense_head (AnchorHeadSingle)."""
+    tree = TorchTree(state_dict)
+    params, stats = {}, {}
+    p, s = convert_pillar_vfe(tree.sub("vfe"),
+                              list(model_cfg.VFE.NUM_FILTERS))
+    params["vfe"], stats["vfe"] = p, s
+    p, s = convert_bev_backbone(tree.sub("backbone_2d"),
+                                model_cfg.BACKBONE_2D)
+    params["backbone_2d"], stats["backbone_2d"] = p, s
+    params["dense_head"] = convert_anchor_head_single(tree.sub("dense_head"))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_second_checkpoint(state_dict, model_cfg):
+    """SECOND (dense VoxelBackBone8x analogue): backbone_3d +
+    backbone_2d + dense_head.  MeanVFE and HeightCompression have no
+    parameters."""
+    tree = TorchTree(state_dict)
+    bb_cfg = model_cfg.BACKBONE_3D
+    widths = list(bb_cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64]))
+    c_out = int(bb_cfg.get("NUM_OUTPUT_FEATURES", 128))
+    params, stats = {}, {}
+    p, s = convert_voxel_backbone_dense(tree.sub("backbone_3d"),
+                                        widths, c_out, input_channels=4)
+    params["backbone_3d"], stats["backbone_3d"] = p, s
+    p, s = convert_bev_backbone(tree.sub("backbone_2d"),
+                                model_cfg.BACKBONE_2D)
+    params["backbone_2d"], stats["backbone_2d"] = p, s
+    params["dense_head"] = convert_anchor_head_single(tree.sub("dense_head"))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_checkpoint_any(state_dict, model_cfg, num_class=3,
+                           input_channels=4):
+    """Dispatch by MODEL.NAME; falls back to the IASSD converter."""
+    name = model_cfg.get("NAME", "IASSD")
+    if name == "PointPillar":
+        return convert_pointpillar_checkpoint(state_dict, model_cfg)
+    if name in ("SECOND", "SECONDNet"):
+        return convert_second_checkpoint(state_dict, model_cfg)
+    return convert_checkpoint(
+        state_dict, model_cfg, num_class=num_class,
+        input_channels=input_channels,
+    )
+
+
 def convert_checkpoint(state_dict, model_cfg, num_class=3, input_channels=4):
     """state_dict: torch name -> numpy array. Returns flax variables dict."""
     sa_cfg = model_cfg.BACKBONE_3D.SA_CONFIG
@@ -263,7 +468,7 @@ def main():
     ck = torch.load(args.torch_ckpt, map_location="cpu")
     sd = ck.get("model_state", ck)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    variables = convert_checkpoint(
+    variables = convert_checkpoint_any(
         sd, cfg.MODEL, num_class=len(cfg.CLASS_NAMES), input_channels=4
     )
     out = {
