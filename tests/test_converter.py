@@ -1232,3 +1232,278 @@ def test_second_backbone_converter_structure():
         TorchTree(sd2), widths, c_out, input_channels=c_in)
     np.testing.assert_array_equal(
         p2["conv2_down"]["Conv_0"]["kernel"], np.swapaxes(w2, -1, -2))
+
+
+def _emit_conv3d_spconv(sd, key, kernel, bias=None):
+    """flax Conv kernel (k1,k2,k3,in,out) == spconv 1.x layout; emitted
+    as-is (the dense analogue assumes spconv's dense-equivalent
+    cross-correlation orientation)."""
+    sd[key + ".weight"] = np.asarray(kernel)
+    if bias is not None:
+        sd[key + ".bias"] = np.asarray(bias)
+
+
+def test_res_block3d_torch_activation_parity():
+    """ResBlock3D vs a dense torch twin of SparseBasicBlock
+    (spconv_backbone.py:30-67): Conv3d(k=3, pad=1, WITH bias)-BN-ReLU ->
+    Conv3d-BN -> +identity -> ReLU.  The twin's conv biases are folded
+    into the BN running means by ``convert_res_block3d`` — parity here
+    proves the fold is exact."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_res_block3d
+
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import ResBlock3D
+
+    C, D = 6, 5
+    torch.manual_seed(12)
+
+    class RefBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv3d(C, C, 3, padding=1, bias=True)
+            self.bn1 = torch.nn.BatchNorm3d(C, eps=1e-3, momentum=0.01)
+            self.conv2 = torch.nn.Conv3d(C, C, 3, padding=1, bias=True)
+            self.bn2 = torch.nn.BatchNorm3d(C, eps=1e-3, momentum=0.01)
+
+        def forward(self, x):
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return torch.relu(x + out)
+
+    ref = RefBlock()
+    with torch.no_grad():
+        for bn in (ref.bn1, ref.bn2):
+            bn.running_mean.uniform_(-0.2, 0.2)
+            bn.running_var.uniform_(0.5, 2.0)
+        ref.conv1.bias.uniform_(-0.5, 0.5)
+        ref.conv2.bias.uniform_(-0.5, 0.5)
+    ref.eval()
+
+    x = np.random.RandomState(31).randn(2, C, D, D, D).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+
+    sd = {}
+    for name in ("conv1", "conv2"):
+        w = getattr(ref, name).weight.detach().numpy()  # (out,in,k,k,k)
+        sd[f"{name}.weight"] = np.transpose(w, (2, 3, 4, 1, 0))
+        sd[f"{name}.bias"] = getattr(ref, name).bias.detach().numpy()
+    for name in ("bn1", "bn2"):
+        bn = getattr(ref, name)
+        sd[f"{name}.weight"] = bn.weight.detach().numpy()
+        sd[f"{name}.bias"] = bn.bias.detach().numpy()
+        sd[f"{name}.running_mean"] = bn.running_mean.numpy()
+        sd[f"{name}.running_var"] = bn.running_var.numpy()
+
+    params, stats = {}, {}
+    convert_res_block3d(TorchTree(sd), "blk", params, stats)
+
+    blk = ResBlock3D(C)
+    y = np.asarray(blk.apply(
+        {"params": jax.tree.map(jnp.asarray, params["blk"]),
+         "batch_stats": jax.tree.map(jnp.asarray, stats["blk"])},
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False))
+    np.testing.assert_allclose(y.transpose(0, 4, 1, 2, 3), y_ref, atol=3e-5)
+
+
+def test_center_head_torch_activation_parity():
+    """CenterHeadNet vs a reference-structured torch twin
+    (center_head.py:11-101): shared Conv-BN-ReLU, per-head fc stacks of
+    [Conv2d-BN-ReLU] Sequentials + bare final Conv2d; converted via
+    ``convert_center_head``."""
+    torch = pytest.importorskip("torch")
+    from ckpt_converter import TorchTree, convert_center_head
+
+    from pdanet_tpu.models.dense_heads.center_head import CenterHeadNet
+    from pdanet_tpu.utils.easydict import EasyDict
+    from test_centerpoint import CP_MODEL_CFG
+
+    head_cfg = EasyDict(
+        {k: v for k, v in CP_MODEL_CFG["DENSE_HEAD"].items()})
+    c_in, sc = 8, int(head_cfg.SHARED_CONV_CHANNEL)
+    n_each = [2]
+    use_bias = bool(head_cfg.USE_BIAS_BEFORE_NORM)
+    torch.manual_seed(14)
+
+    def sep_stack(cout, num_conv):
+        fc = []
+        for _ in range(num_conv - 1):
+            fc.append(torch.nn.Sequential(
+                torch.nn.Conv2d(sc, sc, 3, padding=1, bias=use_bias),
+                torch.nn.BatchNorm2d(sc), torch.nn.ReLU()))
+        fc.append(torch.nn.Conv2d(sc, cout, 3, padding=1, bias=True))
+        return torch.nn.Sequential(*fc)
+
+    class RefSepHead(torch.nn.Module):
+        def __init__(self, hd):
+            super().__init__()
+            self.hd = hd
+            for name, spec in hd.items():
+                setattr(self, name, sep_stack(int(spec["out_channels"]),
+                                              int(spec["num_conv"])))
+
+        def forward(self, x):
+            return {n: getattr(self, n)(x) for n in self.hd}
+
+    class RefCenterHead(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.shared_conv = torch.nn.Sequential(
+                torch.nn.Conv2d(c_in, sc, 3, padding=1, bias=use_bias),
+                torch.nn.BatchNorm2d(sc), torch.nn.ReLU())
+            hd = {k: dict(v) for k, v in
+                  dict(head_cfg.SEPARATE_HEAD_CFG.HEAD_DICT).items()}
+            hd["hm"] = {"out_channels": n_each[0],
+                        "num_conv": int(head_cfg.NUM_HM_CONV)}
+            self.heads_list = torch.nn.ModuleList([RefSepHead(hd)])
+
+        def forward(self, x):
+            x = self.shared_conv(x)
+            return [h(x) for h in self.heads_list]
+
+    ref = RefCenterHead()
+    with torch.no_grad():
+        for mod in ref.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    x = np.random.RandomState(37).randn(2, c_in, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_center_head(TorchTree(sd), head_cfg, n_each)
+
+    net = CenterHeadNet(
+        model_cfg=dict(head_cfg), num_class_each_head=n_each,
+        head_order=list(head_cfg.SEPARATE_HEAD_CFG.HEAD_ORDER),
+        head_dict=dict(head_cfg.SEPARATE_HEAD_CFG.HEAD_DICT))
+    preds = net.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert len(preds) == 1
+    for name, t_val in ref_out[0].items():
+        np.testing.assert_allclose(
+            np.asarray(preds[0][name]).transpose(0, 3, 1, 2),
+            t_val.numpy(), atol=2e-5, err_msg=name)
+
+
+def test_centerpoint_converter_roundtrip():
+    """Full-model roundtrip for ``convert_centerpoint_checkpoint`` on the
+    CenterPoint tiny config: inverse-emit a torch/spconv-layout
+    state_dict from the real flax variables (zero conv biases inside the
+    residual blocks — the fold then reproduces the means exactly),
+    convert, exact tree/value match + full consumption + live forward."""
+    from ckpt_converter import convert_centerpoint_checkpoint
+
+    from pdanet_tpu.utils.easydict import EasyDict
+    from test_centerpoint import CP_MODEL_CFG, _build, _make_inputs
+
+    cfg = EasyDict(CP_MODEL_CFG)
+    model = _build()
+    voxels, coords, nums = _make_inputs()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(voxels), jnp.asarray(coords),
+        jnp.asarray(nums))
+    variables = jax.tree.map(np.asarray, dict(variables))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    sd = {}
+    # backbone_3d
+    bp, bs = params["backbone_3d"], stats["backbone_3d"]
+
+    def emit_seq3d(flax_name, torch_prefix):
+        _emit_conv3d_spconv(sd, torch_prefix + ".0",
+                            bp[flax_name]["Conv_0"]["kernel"])
+        _emit_bn(sd, torch_prefix + ".1",
+                 bp[flax_name]["BatchNorm_0"],
+                 bs[flax_name]["BatchNorm_0"])
+
+    def emit_res(flax_name, torch_prefix):
+        for conv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+            k = bp[flax_name][conv]["kernel"]
+            _emit_conv3d_spconv(
+                sd, f"{torch_prefix}.{conv}", k,
+                bias=np.zeros(k.shape[-1], np.float32))
+            _emit_bn(sd, f"{torch_prefix}.{bn}", bp[flax_name][bn],
+                     bs[flax_name][bn])
+
+    emit_seq3d("conv_input", "backbone_3d.conv_input")
+    emit_res("res1_a", "backbone_3d.conv1.0")
+    emit_res("res1_b", "backbone_3d.conv1.1")
+    for lvl in (2, 3, 4):
+        emit_seq3d(f"conv{lvl}_down", f"backbone_3d.conv{lvl}.0")
+        emit_res(f"res{lvl}_a", f"backbone_3d.conv{lvl}.1")
+        emit_res(f"res{lvl}_b", f"backbone_3d.conv{lvl}.2")
+    emit_seq3d("conv_out", "backbone_3d.conv_out")
+
+    # backbone_2d (single level, deconv upsample)
+    bb_p, bb_s = params["backbone_2d"], stats["backbone_2d"]
+    bcfg = cfg.BACKBONE_2D
+    for idx in range(len(bcfg.LAYER_NUMS)):
+        _emit_conv2d(sd, f"backbone_2d.blocks.{idx}.1",
+                     bb_p[f"blocks_{idx}_down"]["conv"]["kernel"])
+        _emit_bn(sd, f"backbone_2d.blocks.{idx}.2",
+                 bb_p[f"blocks_{idx}_down"]["bn"],
+                 bb_s[f"blocks_{idx}_down"]["bn"])
+        for k in range(bcfg.LAYER_NUMS[idx]):
+            _emit_conv2d(sd, f"backbone_2d.blocks.{idx}.{4 + 3 * k}",
+                         bb_p[f"blocks_{idx}_{k}"]["conv"]["kernel"])
+            _emit_bn(sd, f"backbone_2d.blocks.{idx}.{5 + 3 * k}",
+                     bb_p[f"blocks_{idx}_{k}"]["bn"],
+                     bb_s[f"blocks_{idx}_{k}"]["bn"])
+        _emit_deconv2d(sd, f"backbone_2d.deblocks.{idx}.0",
+                       bb_p[f"deblocks_{idx}_deconv"]["kernel"])
+        _emit_bn(sd, f"backbone_2d.deblocks.{idx}.1",
+                 bb_p[f"deblocks_{idx}_bn"], bb_s[f"deblocks_{idx}_bn"])
+
+    # dense_head
+    hp, hs = params["dense_head"], stats["dense_head"]
+    _emit_conv2d(sd, "dense_head.shared_conv.0",
+                 hp["shared_conv"]["kernel"],
+                 hp["shared_conv"].get("bias"))
+    _emit_bn(sd, "dense_head.shared_conv.1", hp["shared_bn"],
+             hs["shared_bn"])
+    head_dict = {k: dict(v) for k, v in
+                 dict(cfg.DENSE_HEAD.SEPARATE_HEAD_CFG.HEAD_DICT).items()}
+    head_dict["hm"] = {"out_channels": 2,
+                       "num_conv": int(cfg.DENSE_HEAD.NUM_HM_CONV)}
+    for i in range(1):
+        for name, spec in head_dict.items():
+            nc = int(spec["num_conv"])
+            for k in range(nc - 1):
+                lp = hp[f"head_{i}"][f"{name}_conv{k}"]
+                _emit_conv2d(sd,
+                             f"dense_head.heads_list.{i}.{name}.{k}.0",
+                             lp["kernel"], lp.get("bias"))
+                _emit_bn(sd, f"dense_head.heads_list.{i}.{name}.{k}.1",
+                         hp[f"head_{i}"][f"{name}_bn{k}"],
+                         hs[f"head_{i}"][f"{name}_bn{k}"])
+            fin = hp[f"head_{i}"][f"{name}_out"]
+            _emit_conv2d(sd, f"dense_head.heads_list.{i}.{name}.{nc - 1}",
+                         fin["kernel"], fin["bias"])
+
+    sd = TrackingDict(sd)
+    converted = convert_centerpoint_checkpoint(
+        sd, cfg, class_names=["Car", "Pedestrian"])
+
+    unread = set(sd.keys()) - sd.read
+    assert not unread, sorted(unread)[:10]
+
+    for col in ("params", "batch_stats"):
+        want = _tree_paths(variables[col])
+        got = _tree_paths(converted[col])
+        assert set(want) == set(got), sorted(set(want) ^ set(got))[:10]
+        for path, arr in want.items():
+            np.testing.assert_allclose(
+                np.asarray(got[path]), np.asarray(arr), rtol=1e-6,
+                err_msg=str(path))
+
+    out = model.apply(
+        converted, jnp.asarray(voxels), jnp.asarray(coords),
+        jnp.asarray(nums), train=False)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()

@@ -343,6 +343,120 @@ def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
     return params, stats
 
 
+def convert_res_block3d(tree, name, params, stats):
+    """SparseBasicBlock (spconv_backbone.py:30-67) -> flax ResBlock3D
+    {conv1, bn1, conv2, bn2}.
+
+    The reference's SubM convs inside the block carry a bias even though
+    a BN follows (``bias = norm_fn is not None``, :38) — a redundant
+    shift which is folded EXACTLY into the BN running mean here
+    (BN(Wx + b) == BN'(Wx) with mean' = mean - b)."""
+    p, s = {}, {}
+    for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2")):
+        ct, bt = tree.sub(conv_name), tree.sub(bn_name)
+        p[conv_name] = {"kernel": np.asarray(ct["weight"])}
+        mean = np.asarray(bt["running_mean"])
+        if "bias" in ct:
+            mean = mean - np.asarray(ct["bias"])
+        p[bn_name] = {"scale": bt["weight"], "bias": bt["bias"]}
+        s[bn_name] = {"mean": mean, "var": bt["running_var"]}
+    params[name], stats[name] = p, s
+
+
+def convert_voxel_res_backbone_dense(tree, input_channels=4):
+    """Reference VoxelResBackBone8x (spconv_backbone.py:183-240) onto the
+    dense flax ``voxel_backbone.VoxelResBackBone8x`` — a COMPLETE mapping
+    (down block + 2 residual blocks per level on both sides): conv_input,
+    conv1.{0,1} residual pair, conv{2..4}.0 down + .{1,2} residual pairs,
+    conv_out.  spconv kernels (k,k,k,in,out) pass through; the in-block
+    conv biases are folded into BN means (see convert_res_block3d)."""
+    widths = [16, 16, 32, 64, 128]
+    params, stats = {}, {}
+
+    def seq(conv_tree, bn_tree, name):
+        params[name] = {
+            "Conv_0": {"kernel": np.asarray(conv_tree["weight"])},
+            "BatchNorm_0": {"scale": bn_tree["weight"],
+                            "bias": bn_tree["bias"]},
+        }
+        stats[name] = {"BatchNorm_0": {"mean": bn_tree["running_mean"],
+                                       "var": bn_tree["running_var"]}}
+
+    seq(tree.sub("conv_input.0"), tree.sub("conv_input.1"), "conv_input")
+    convert_res_block3d(tree.sub("conv1.0"), "res1_a", params, stats)
+    convert_res_block3d(tree.sub("conv1.1"), "res1_b", params, stats)
+    for lvl in (2, 3, 4):
+        seq(tree.sub(f"conv{lvl}.0.0"), tree.sub(f"conv{lvl}.0.1"),
+            f"conv{lvl}_down")
+        convert_res_block3d(tree.sub(f"conv{lvl}.1"), f"res{lvl}_a",
+                            params, stats)
+        convert_res_block3d(tree.sub(f"conv{lvl}.2"), f"res{lvl}_b",
+                            params, stats)
+    seq(tree.sub("conv_out.0"), tree.sub("conv_out.1"), "conv_out")
+    return params, stats
+
+
+def convert_center_head(tree, model_cfg, num_class_each_head):
+    """CenterHead (center_head.py:11-101) -> flax CenterHeadNet:
+    shared_conv Sequential + heads_list.{i} SeparateHeads, whose fc
+    stacks are Sequentials of [Conv2d-BN-ReLU] Sequentials with a bare
+    final Conv2d."""
+    params, stats = {}, {}
+    sc = tree.sub("shared_conv")
+    p = {"kernel": _conv2d_kernel(sc.sub("0")["weight"])}
+    if "0.bias" in sc:
+        p["bias"] = sc.sub("0")["bias"]
+    params["shared_conv"] = p
+    bp, bs = {}, {}
+    _bn(sc.sub("1"), bp, bs)
+    params["shared_bn"], stats["shared_bn"] = bp["bn"], bs["bn"]
+
+    head_dict = {k: dict(v) for k, v in
+                 dict(model_cfg.SEPARATE_HEAD_CFG.HEAD_DICT).items()}
+    for i, n_cls in enumerate(num_class_each_head):
+        hd = dict(head_dict)
+        hd["hm"] = {"out_channels": n_cls,
+                    "num_conv": int(model_cfg.NUM_HM_CONV)}
+        ht = tree.sub(f"heads_list.{i}")
+        hp, hs = {}, {}
+        for name, spec in hd.items():
+            nc = int(spec["num_conv"])
+            for k in range(nc - 1):
+                st = ht.sub(f"{name}.{k}")
+                lp = {"kernel": _conv2d_kernel(st.sub("0")["weight"])}
+                if "0.bias" in st:
+                    lp["bias"] = st.sub("0")["bias"]
+                hp[f"{name}_conv{k}"] = lp
+                bp, bs = {}, {}
+                _bn(st.sub("1"), bp, bs)
+                hp[f"{name}_bn{k}"] = bp["bn"]
+                hs[f"{name}_bn{k}"] = bs["bn"]
+            fin = ht.sub(f"{name}.{nc - 1}")
+            hp[f"{name}_out"] = {"kernel": _conv2d_kernel(fin["weight"]),
+                                 "bias": fin["bias"]}
+        params[f"head_{i}"] = hp
+        stats[f"head_{i}"] = hs
+    return params, stats
+
+
+def convert_centerpoint_checkpoint(state_dict, model_cfg, class_names):
+    """CenterPoint: MeanVFE (no params) + VoxelResBackBone8x +
+    BaseBEVBackbone + CenterHead."""
+    tree = TorchTree(state_dict)
+    params, stats = {}, {}
+    p, s = convert_voxel_res_backbone_dense(tree.sub("backbone_3d"))
+    params["backbone_3d"], stats["backbone_3d"] = p, s
+    p, s = convert_bev_backbone(tree.sub("backbone_2d"),
+                                model_cfg.BACKBONE_2D)
+    params["backbone_2d"], stats["backbone_2d"] = p, s
+    head_cfg = model_cfg.DENSE_HEAD
+    n_each = [len([c for c in group if c in class_names])
+              for group in head_cfg.CLASS_NAMES_EACH_HEAD]
+    p, s = convert_center_head(tree.sub("dense_head"), head_cfg, n_each)
+    params["dense_head"], stats["dense_head"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_pointpillar_checkpoint(state_dict, model_cfg):
     """PointPillar: vfe + backbone_2d + dense_head (AnchorHeadSingle)."""
     tree = TorchTree(state_dict)
@@ -377,13 +491,16 @@ def convert_second_checkpoint(state_dict, model_cfg):
 
 
 def convert_checkpoint_any(state_dict, model_cfg, num_class=3,
-                           input_channels=4):
+                           input_channels=4, class_names=None):
     """Dispatch by MODEL.NAME; falls back to the IASSD converter."""
     name = model_cfg.get("NAME", "IASSD")
     if name == "PointPillar":
         return convert_pointpillar_checkpoint(state_dict, model_cfg)
     if name in ("SECOND", "SECONDNet"):
         return convert_second_checkpoint(state_dict, model_cfg)
+    if name == "CenterPoint":
+        return convert_centerpoint_checkpoint(
+            state_dict, model_cfg, class_names or [])
     return convert_checkpoint(
         state_dict, model_cfg, num_class=num_class,
         input_channels=input_channels,
@@ -469,7 +586,8 @@ def main():
     sd = ck.get("model_state", ck)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     variables = convert_checkpoint_any(
-        sd, cfg.MODEL, num_class=len(cfg.CLASS_NAMES), input_channels=4
+        sd, cfg.MODEL, num_class=len(cfg.CLASS_NAMES), input_channels=4,
+        class_names=list(cfg.CLASS_NAMES),
     )
     out = {
         "epoch": ck.get("epoch", 0),
