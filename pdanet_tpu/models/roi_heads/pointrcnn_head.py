@@ -136,12 +136,17 @@ class PointRCNNHeadNet(nn.Module):
         feats = merged
         sa_cfg = EasyDict(cfg.SA_CONFIG)
         for i in range(len(sa_cfg.NPOINTS)):
+            # the reference's vanilla PointnetSAModuleMSG hardcodes
+            # Conv2d(bias=False)+BN2d and IGNORES the bn=use_bn argument
+            # (pointnet2_batch/pointnet2_modules.py:118-126), so the SA
+            # stages are BN'd even under USE_BN: False — only
+            # xyz_up/merge_down honor the flag (pointrcnn_head.py:21-31)
             xyz, feats = SAStage(
                 npoint=int(sa_cfg.NPOINTS[i]),
                 radius=float(sa_cfg.RADIUS[i]),
                 nsample=int(sa_cfg.NSAMPLE[i]),
                 mlp=tuple(sa_cfg.MLPS[i]),
-                use_bn=use_bn,
+                use_bn=True,
                 name=f"SA_{i}",
             )(xyz, feats, train)
 

@@ -281,6 +281,28 @@ def convert_anchor_head_single(tree):
     return params
 
 
+def _conv3d_kernel(w, cin, cout):
+    """spconv Conv3d weight -> flax Conv kernel (k1, k2, k3, in, out).
+    Accepts the layouts the reference's load shim handles
+    (detector3d_template.py ckpt load):
+      spconv 1.x            (k1, k2, k3, in, out)  — already flax layout
+      spconv 2.x native     (k1, k2, k3, out, in)
+      spconv 2.x implicit   (out, k1, k2, k3, in)
+    Disambiguated by the caller-known (in, out) channel pair; when
+    cin == cout the 1.x and 2.x-native layouts coincide shape-wise
+    and 1.x is assumed (the published reference checkpoints)."""
+    w = np.asarray(w)
+    if w.shape[-2:] == (cin, cout):  # spconv 1.x == flax layout
+        return w
+    if w.shape[-2:] == (cout, cin):  # spconv 2.x native
+        return np.swapaxes(w, -1, -2)
+    if w.shape[0] == cout and w.shape[-1] == cin:  # implicit gemm
+        return np.moveaxis(w, 0, -1).swapaxes(-1, -2)
+    raise ValueError(
+        f"unrecognized spconv weight shape {w.shape} for "
+        f"cin={cin} cout={cout}")
+
+
 def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
     """Reference VoxelBackBone8x (spconv_backbone.py:70-120) onto the
     DENSE flax analogue ``voxel_backbone.VoxelBackBone8x``.
@@ -291,27 +313,7 @@ def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
     dropped — dense conversion is approximate by design (the
     semantics-matching target is SparseVoxelBackBone8x).  conv{L}.1 maps
     onto the analogue's subm block."""
-
-    def conv3d_kernel(w, cin, cout):
-        """spconv Conv3d weight -> flax Conv kernel (k1, k2, k3, in, out).
-        Accepts the layouts the reference's load shim handles
-        (detector3d_template.py ckpt load):
-          spconv 1.x            (k1, k2, k3, in, out)  — already flax layout
-          spconv 2.x native     (k1, k2, k3, out, in)
-          spconv 2.x implicit   (out, k1, k2, k3, in)
-        Disambiguated by the caller-known (in, out) channel pair; when
-        cin == cout the 1.x and 2.x-native layouts coincide shape-wise
-        and 1.x is assumed (the published reference checkpoints)."""
-        w = np.asarray(w)
-        if w.shape[-2:] == (cin, cout):  # spconv 1.x == flax layout
-            return w
-        if w.shape[-2:] == (cout, cin):  # spconv 2.x native
-            return np.swapaxes(w, -1, -2)
-        if w.shape[0] == cout and w.shape[-1] == cin:  # implicit gemm
-            return np.moveaxis(w, 0, -1).swapaxes(-1, -2)
-        raise ValueError(
-            f"unrecognized spconv weight shape {w.shape} for "
-            f"cin={cin} cout={cout}")
+    conv3d_kernel = _conv3d_kernel
 
     params, stats = {}, {}
 
@@ -396,6 +398,671 @@ def convert_voxel_res_backbone_dense(tree, input_channels=4):
     return params, stats
 
 
+def convert_sparse_voxel_backbone(tree, widths, c_out, input_channels=4,
+                                  with_out=True):
+    """Reference VoxelBackBone8x (spconv_backbone.py:70-120) onto the
+    SPARSE flax ``sparse_backbone.SparseVoxelBackBone8x`` (gather-matmul
+    submanifold formulation) — a COMPLETE mapping, both subm blocks per
+    level included.
+
+    spconv weights normalize to (kz, ky, kx, in, out) and flatten
+    row-major onto the (K, in, out) tap axis — the same z-major
+    ``_kernel_offsets`` order ``build_neighbor_table`` walks.  Any conv
+    bias (spconv 1.x builds some) folds into the following BN's running
+    mean (BN(Wx + b) == BN'(Wx) with mean' = mean - b)."""
+    params, stats = {}, {}
+
+    def block(conv_tree, bn_tree, name, cin, cout):
+        w = _conv3d_kernel(conv_tree["weight"], cin, cout)
+        params[name] = {"kernel": w.reshape(-1, cin, cout)}
+        mean = np.asarray(bn_tree["running_mean"])
+        if "bias" in conv_tree:
+            mean = mean - np.asarray(conv_tree["bias"])
+        params[name]["bn"] = {"scale": bn_tree["weight"],
+                              "bias": bn_tree["bias"]}
+        stats[name] = {"bn": {"mean": mean, "var": bn_tree["running_var"]}}
+
+    def down(conv_tree, bn_tree, name, cin, cout):
+        w = _conv3d_kernel(conv_tree["weight"], cin, cout)
+        params[f"{name}_kernel"] = w.reshape(-1, cin, cout)
+        mean = np.asarray(bn_tree["running_mean"])
+        if "bias" in conv_tree:
+            mean = mean - np.asarray(conv_tree["bias"])
+        params[f"{name}_bn"] = {"scale": bn_tree["weight"],
+                                "bias": bn_tree["bias"]}
+        stats[f"{name}_bn"] = {"mean": mean, "var": bn_tree["running_var"]}
+
+    block(tree.sub("conv_input.0"), tree.sub("conv_input.1"), "conv_input",
+          input_channels, widths[0])
+    block(tree.sub("conv1.0.0"), tree.sub("conv1.0.1"), "conv1",
+          widths[0], widths[1])
+    pairs = [(2, widths[1], widths[2]), (3, widths[2], widths[3]),
+             (4, widths[3], widths[4])]
+    for lvl, cin, cout in pairs:
+        down(tree.sub(f"conv{lvl}.0.0"), tree.sub(f"conv{lvl}.0.1"),
+             f"conv{lvl}_down", cin, cout)
+        block(tree.sub(f"conv{lvl}.1.0"), tree.sub(f"conv{lvl}.1.1"),
+              f"conv{lvl}_a", cout, cout)
+        block(tree.sub(f"conv{lvl}.2.0"), tree.sub(f"conv{lvl}.2.1"),
+              f"conv{lvl}_b", cout, cout)
+    if with_out:  # absent under RETURN_ENCODED_TENSOR: False (UNet free)
+        down(tree.sub("conv_out.0"), tree.sub("conv_out.1"), "conv_out",
+             widths[4], c_out)
+    return params, stats
+
+
+def convert_fc_bn_stack(tree, n, drop_after, prefix):
+    """Torch Sequential of [Linear/Conv1d(no bias), BN1d, ReLU
+    (+ Dropout when drop_after(k))] x n -> flax {prefix}_fc{k} Dense +
+    {prefix}_bn{k} BatchNorm params.
+
+    Returns (params, stats, next_index) — next_index is the Sequential
+    slot AFTER the stack (= the final pred layer in make_fc_layers)."""
+    params, stats = {}, {}
+    idx = 0
+    for k in range(n):
+        lin, bn = tree.sub(str(idx)), tree.sub(str(idx + 1))
+        lp = {"kernel": _dense(lin["weight"])}
+        if "bias" in lin:
+            lp["bias"] = lin["bias"]
+        params[f"{prefix}_fc{k}"] = lp
+        params[f"{prefix}_bn{k}"] = {"scale": bn["weight"],
+                                     "bias": bn["bias"]}
+        stats[f"{prefix}_bn{k}"] = {"mean": bn["running_mean"],
+                                    "var": bn["running_var"]}
+        idx += 3 + (1 if drop_after(k) else 0)
+    return params, stats, idx
+
+
+def convert_second_roi_head(tree, roi_cfg):
+    """SECONDHead (second_head.py:10-32) -> flax SECONDHeadNet:
+    shared_fc_layer (Dropout after each non-final layer when DP_RATIO>0)
+    + iou_layers from RoIHeadTemplate.make_fc_layers (Dropout after
+    k==0 when DP_RATIO>=0, roi_head_template.py:29-43)."""
+    dp = float(roi_cfg.get("DP_RATIO", 0.0))
+    n_sh = len(list(roi_cfg.SHARED_FC))
+    params, stats, _ = convert_fc_bn_stack(
+        tree.sub("shared_fc_layer"), n_sh,
+        lambda k: k != n_sh - 1 and dp > 0, "shared")
+    n_iou = len(list(roi_cfg.IOU_FC))
+    p, s, idx = convert_fc_bn_stack(
+        tree.sub("iou_layers"), n_iou, lambda k: dp >= 0 and k == 0, "iou")
+    params.update(p)
+    stats.update(s)
+    fin = tree.sub("iou_layers").sub(str(idx))
+    params["iou_out"] = {"kernel": _dense(fin["weight"]),
+                         "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_voxelrcnn_roi_head(tree, roi_cfg):
+    """VoxelRCNNHead (voxelrcnn_head.py:8-95) -> flax VoxelRCNNHeadNet:
+    per-source NeighborVoxelSAModuleMSG pool layers (mlps_in/mlps_pos/
+    mlps_out, voxel_pool_modules.py:24-53) + shared/cls/reg FC stacks
+    (Dropout after non-final layers when DP_RATIO>0) + pred Linears."""
+    dp = float(roi_cfg.get("DP_RATIO", 0.0))
+    params, stats = {}, {}
+    for k, src in enumerate(list(roi_cfg.ROI_GRID_POOL.FEATURES_SOURCE)):
+        pt = tree.sub(f"roi_grid_pool_layers.{k}")
+        pp, ps = {}, {}
+        for tname, fname in (("mlps_in.0", "in"), ("mlps_pos.0", "pos"),
+                             ("mlps_out.0", "out")):
+            ct, bt = pt.sub(f"{tname}.0"), pt.sub(f"{tname}.1")
+            pp[f"mlp_{fname}"] = {"kernel": _dense(ct["weight"])}
+            pp[f"bn_{fname}"] = {"scale": bt["weight"], "bias": bt["bias"]}
+            ps[f"bn_{fname}"] = {"mean": bt["running_mean"],
+                                 "var": bt["running_var"]}
+        params[f"pool_{src}"], stats[f"pool_{src}"] = pp, ps
+    for torch_name, prefix, fc_key in (
+        ("shared_fc_layer", "shared", "SHARED_FC"),
+        ("cls_fc_layers", "cls", "CLS_FC"),
+        ("reg_fc_layers", "reg", "REG_FC"),
+    ):
+        n = len(list(roi_cfg[fc_key]))
+        p, s, _ = convert_fc_bn_stack(
+            tree.sub(torch_name), n,
+            lambda k, n=n: k != n - 1 and dp > 0, prefix)
+        params.update(p)
+        stats.update(s)
+    for torch_name, flax_name in (("cls_pred_layer", "cls_pred"),
+                                  ("reg_pred_layer", "reg_pred")):
+        sub = tree.sub(torch_name)
+        params[flax_name] = {"kernel": _dense(sub["weight"]),
+                             "bias": sub["bias"]}
+    return params, stats
+
+
+def convert_pointnet2_msg_backbone(tree, model_cfg, input_channels=4):
+    """PointNet2MSG (pointnet2_backbone.py:12-102 in the reference) ->
+    flax PointNet2MSG: SA_modules.{k}.mlps.{i} Conv2d+BN2d stacks and
+    FP_modules.{i}.mlp stacks."""
+    sa_cfg = model_cfg.SA_CONFIG
+    params, stats = {}, {}
+    channel_in = input_channels - 3
+    skip = [channel_in]
+    for k in range(len(sa_cfg.NPOINTS)):
+        mp, ms = {}, {}
+        for i, spec in enumerate(sa_cfg.MLPS[k]):
+            p, s = convert_mlp_stack(
+                tree.sub(f"SA_modules.{k}.mlps.{i}"), len(list(spec)))
+            mp[f"mlps_{i}"], ms[f"mlps_{i}"] = p, s
+        params[f"SA_modules_{k}"], stats[f"SA_modules_{k}"] = mp, ms
+        channel_in = sum(list(m)[-1] for m in sa_cfg.MLPS[k])
+        skip.append(channel_in)
+    for i in range(len(model_cfg.FP_MLPS)):
+        p, s = convert_mlp_stack(
+            tree.sub(f"FP_modules.{i}.mlp"),
+            len(list(model_cfg.FP_MLPS[i])))
+        params[f"FP_modules_{i}"] = {"mlp": p}
+        stats[f"FP_modules_{i}"] = {"mlp": s}
+    return params, stats
+
+
+def convert_point_head_box(tree, head_cfg):
+    """PointHeadBox (point_head_box.py): cls_layers + box_layers from
+    point_head_template.make_fc_layers (Linear/BN/ReLU x n + Linear,
+    NO dropout) -> flax PointHeadBoxNet cls_/box_ flat names."""
+    params, stats = {}, {}
+    for torch_name, prefix, fc_key in (("cls_layers", "cls", "CLS_FC"),
+                                       ("box_layers", "box", "REG_FC")):
+        n = len(list(head_cfg[fc_key]))
+        p, s, idx = convert_fc_bn_stack(
+            tree.sub(torch_name), n, lambda k: False, prefix)
+        params.update(p)
+        stats.update(s)
+        fin = tree.sub(torch_name).sub(str(idx))
+        params[f"{prefix}_out"] = {"kernel": _dense(fin["weight"]),
+                                   "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_plain_mlp(tree, n, use_bn, prefix_params, prefix_stats):
+    """The PointRCNN head's _MLP: Conv2d(bias=not use_bn) [+BN] +ReLU
+    x n (pointrcnn_head.py:19-31) -> flax _MLP fc{k}/bn{k}."""
+    stride = 3 if use_bn else 2
+    for k in range(n):
+        conv = tree.sub(str(stride * k))
+        lp = {"kernel": _dense(conv["weight"])}
+        if "bias" in conv:
+            lp["bias"] = conv["bias"]
+        prefix_params[f"fc{k}"] = lp
+        if use_bn:
+            bn = tree.sub(str(stride * k + 1))
+            prefix_params[f"bn{k}"] = {"scale": bn["weight"],
+                                       "bias": bn["bias"]}
+            prefix_stats[f"bn{k}"] = {"mean": bn["running_mean"],
+                                      "var": bn["running_var"]}
+
+
+def convert_pointrcnn_roi_head(tree, roi_cfg):
+    """PointRCNNHead (pointrcnn_head.py:10-60) -> flax PointRCNNHeadNet:
+    xyz_up/merge_down honor USE_BN; the SA stages are ALWAYS BN'd (the
+    reference's PointnetSAModuleMSG ignores its bn arg); cls/reg stacks
+    from RoIHeadTemplate.make_fc_layers (Dropout slot after k==0 since
+    DP_RATIO >= 0)."""
+    use_bn = bool(roi_cfg.get("USE_BN", False))
+    dp = float(roi_cfg.get("DP_RATIO", 0.0))
+    params, stats = {}, {}
+
+    xp, xs = {}, {}
+    convert_plain_mlp(tree.sub("xyz_up_layer"),
+                      len(list(roi_cfg.XYZ_UP_LAYER)), use_bn, xp, xs)
+    params["xyz_up"], stats["xyz_up"] = xp, xs
+    mp, ms = {}, {}
+    convert_plain_mlp(tree.sub("merge_down_layer"), 1, use_bn, mp, ms)
+    params["merge_down"], stats["merge_down"] = mp, ms
+
+    for k in range(len(list(roi_cfg.SA_CONFIG.NPOINTS))):
+        sp, ss = {}, {}
+        convert_plain_mlp(tree.sub(f"SA_modules.{k}.mlps.0"),
+                          len(list(roi_cfg.SA_CONFIG.MLPS[k])), True,
+                          sp, ss)
+        params[f"SA_{k}"] = {"mlp": sp}
+        stats[f"SA_{k}"] = {"mlp": ss}
+
+    for torch_name, prefix, fc_key in (("cls_layers", "cls", "CLS_FC"),
+                                       ("reg_layers", "reg", "REG_FC")):
+        n = len(list(roi_cfg[fc_key]))
+        p, s, idx = convert_fc_bn_stack(
+            tree.sub(torch_name), n,
+            lambda k: dp >= 0 and k == 0, prefix)
+        params.update(p)
+        stats.update(s)
+        fin = tree.sub(torch_name).sub(str(idx))
+        params[f"{prefix}_out"] = {"kernel": _dense(fin["weight"]),
+                                   "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_pointrcnn_checkpoint(state_dict, model_cfg, input_channels=4):
+    """PointRCNN (detectors/PointRCNN.py): PointNet2MSG backbone +
+    PointHeadBox + PointRCNNHead."""
+    tree = TorchTree(state_dict)
+    params, stats = {}, {}
+    p, s = convert_pointnet2_msg_backbone(
+        tree.sub("backbone_3d"), model_cfg.BACKBONE_3D,
+        input_channels=input_channels)
+    params["backbone_3d"], stats["backbone_3d"] = p, s
+    p, s = convert_point_head_box(tree.sub("point_head"),
+                                  model_cfg.POINT_HEAD)
+    params["point_head"], stats["point_head"] = p, s
+    p, s = convert_pointrcnn_roi_head(tree.sub("roi_head"),
+                                      model_cfg.ROI_HEAD)
+    params["roi_head"], stats["roi_head"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_masked_sa_msg(tree, mlps_cfg):
+    """StackSAModuleMSG (pointnet2_stack/pointnet2_modules.py:30-115)
+    mlps.{i} Conv2d+BN2d stacks -> flax MaskedSAModuleMSG mlps_{i}
+    MLPStacks (the padded-dense subsumption)."""
+    params, stats = {}, {}
+    for i, spec in enumerate(mlps_cfg):
+        p, s = convert_mlp_stack(tree.sub(f"mlps.{i}"), len(list(spec)))
+        params[f"mlps_{i}"], stats[f"mlps_{i}"] = p, s
+    return params, stats
+
+
+def convert_vector_pool_msg(tree, cfg):
+    """VectorPoolAggregationModuleMSG
+    (pointnet2_stack/pointnet2_modules.py:427-470) -> flax
+    ``vector_pool.VectorPoolAggregationModuleMSG``: per-group
+    ``layer_{k}.separate_local_aggregation_layer.0`` is a grouped Conv1d
+    (out = V*c_agg, groups = V, in-per-group = red+9) whose group-major
+    rows reshape onto the (V, red+9, c_agg) einsum kernel; its BN1d maps
+    to ``sla_bn``; ``post_mlps``/``msg_post_mlps`` Conv1d+BN1d triplets
+    map to post_{j}/post_bn_{j} and msg_post_{j}/msg_post_bn_{j}."""
+    params, stats = {}, {}
+
+    def conv1d_bn(sub, j, dense_name, bn_name, p, s):
+        ct = sub.sub(f"{3 * j}")
+        bt = sub.sub(f"{3 * j + 1}")
+        p[dense_name] = {"kernel": np.asarray(ct["weight"])[..., 0].T}
+        p[bn_name] = {"scale": bt["weight"], "bias": bt["bias"]}
+        s[bn_name] = {"mean": bt["running_mean"], "var": bt["running_var"]}
+
+    for k in range(int(cfg.NUM_GROUPS)):
+        g = cfg[f"GROUP_CFG_{k}"]
+        V = int(np.prod([int(v) for v in g.NUM_LOCAL_VOXEL]))
+        lt = tree.sub(f"layer_{k}")
+        lp, ls = {}, {}
+        w = np.asarray(
+            lt.sub("separate_local_aggregation_layer.0")["weight"])
+        c_agg = w.shape[0] // V
+        lp["separate_local_aggregation"] = np.ascontiguousarray(
+            w[..., 0].reshape(V, c_agg, w.shape[1]).transpose(0, 2, 1))
+        bt = lt.sub("separate_local_aggregation_layer.1")
+        lp["sla_bn"] = {"scale": bt["weight"], "bias": bt["bias"]}
+        ls["sla_bn"] = {"mean": bt["running_mean"],
+                        "var": bt["running_var"]}
+        pm = lt.sub("post_mlps")
+        for j in range(len(list(g.POST_MLPS))):
+            conv1d_bn(pm, j, f"post_{j}", f"post_bn_{j}", lp, ls)
+        params[f"layer_{k}"], stats[f"layer_{k}"] = lp, ls
+    mm = tree.sub("msg_post_mlps")
+    for j in range(len(list(cfg.MSG_POST_MLPS))):
+        conv1d_bn(mm, j, f"msg_post_{j}", f"msg_post_bn_{j}",
+                  params, stats)
+    return params, stats
+
+
+def convert_local_aggregation(tree, scfg):
+    """build_local_aggregation_module dispatch
+    (pointnet2_stack/pointnet2_modules.py:10-27): StackSAModuleMSG vs
+    VectorPoolAggregationModuleMSG (PV-RCNN++)."""
+    if scfg.get("NAME", "StackSAModuleMSG") == "VectorPoolAggregationModuleMSG":
+        return convert_vector_pool_msg(tree, scfg)
+    return convert_masked_sa_msg(tree, [list(m) for m in scfg.MLPS])
+
+
+def convert_voxel_set_abstraction(tree, pfe_cfg):
+    """VoxelSetAbstraction (voxel_set_abstraction.py:123-180):
+    SA_rawpoints + SA_layers (ordered over FEATURES_SOURCE minus
+    bev/raw_points) + vsa_point_feature_fusion Linear/BN."""
+    params, stats = {}, {}
+    sources = list(pfe_cfg.FEATURES_SOURCE)
+    if "raw_points" in sources:
+        p, s = convert_local_aggregation(
+            tree.sub("SA_rawpoints"), pfe_cfg.SA_LAYER["raw_points"])
+        params["SA_rawpoints"], stats["SA_rawpoints"] = p, s
+    k = 0
+    for src in sources:
+        if src in ("bev", "raw_points"):
+            continue
+        p, s = convert_local_aggregation(
+            tree.sub(f"SA_layers.{k}"), pfe_cfg.SA_LAYER[src])
+        params[f"SA_{src}"], stats[f"SA_{src}"] = p, s
+        k += 1
+    fus = tree.sub("vsa_point_feature_fusion.0")
+    params["fusion"] = {"kernel": fus["weight"].T}
+    bn = tree.sub("vsa_point_feature_fusion.1")
+    params["fusion_bn"] = {"scale": bn["weight"], "bias": bn["bias"]}
+    stats["fusion_bn"] = {"mean": bn["running_mean"],
+                          "var": bn["running_var"]}
+    return params, stats
+
+
+def convert_point_head_simple(tree, head_cfg):
+    """PointHeadSimple (point_head_simple.py): one cls_layers stack from
+    point_head_template.make_fc_layers (no dropout)."""
+    n = len(list(head_cfg.CLS_FC))
+    params, stats, idx = convert_fc_bn_stack(
+        tree.sub("cls_layers"), n, lambda k: False, "cls")
+    fin = tree.sub("cls_layers").sub(str(idx))
+    params["cls_out"] = {"kernel": _dense(fin["weight"]),
+                         "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_pvrcnn_roi_head(tree, roi_cfg):
+    """PVRCNNHead (pvrcnn_head.py:8-42) -> flax PVRCNNHeadNet:
+    roi_grid_pool_layer StackSAModuleMSG + shared_fc_layer (Conv1d,
+    Dropout after non-final when DP_RATIO>0) + cls/reg make_fc_layers
+    stacks (Dropout slot after k==0) with the final convs split out as
+    cls_pred/reg_pred."""
+    dp = float(roi_cfg.get("DP_RATIO", 0.0))
+    params, stats = {}, {}
+    p, s = convert_local_aggregation(
+        tree.sub("roi_grid_pool_layer"), roi_cfg.ROI_GRID_POOL)
+    params["roi_grid_pool"], stats["roi_grid_pool"] = p, s
+    n_sh = len(list(roi_cfg.SHARED_FC))
+    p, s, _ = convert_fc_bn_stack(
+        tree.sub("shared_fc_layer"), n_sh,
+        lambda k: k != n_sh - 1 and dp > 0, "shared")
+    params.update(p)
+    stats.update(s)
+    for torch_name, prefix, pred, fc_key in (
+        ("cls_layers", "cls", "cls_pred", "CLS_FC"),
+        ("reg_layers", "reg", "reg_pred", "REG_FC"),
+    ):
+        n = len(list(roi_cfg[fc_key]))
+        p, s, idx = convert_fc_bn_stack(
+            tree.sub(torch_name), n, lambda k: dp >= 0 and k == 0, prefix)
+        params.update(p)
+        stats.update(s)
+        fin = tree.sub(torch_name).sub(str(idx))
+        params[pred] = {"kernel": _dense(fin["weight"]),
+                        "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_pvrcnn_checkpoint(state_dict, model_cfg):
+    """PV-RCNN / PV-RCNN++ (detectors/pv_rcnn.py, pv_rcnn_plusplus.py):
+    the SECOND first stage + the VoxelSetAbstraction PFE +
+    PointHeadSimple + PVRCNNHead.  Per-source aggregation dispatches
+    StackSAModuleMSG vs VectorPoolAggregationModuleMSG by config NAME,
+    so both variants share this entry."""
+    out = convert_second_checkpoint(state_dict, model_cfg)
+    tree = TorchTree(state_dict)
+    p, s = convert_voxel_set_abstraction(tree.sub("pfe"), model_cfg.PFE)
+    out["params"]["pfe"], out["batch_stats"]["pfe"] = p, s
+    p, s = convert_point_head_simple(tree.sub("point_head"),
+                                     model_cfg.POINT_HEAD)
+    out["params"]["point_head"] = p
+    out["batch_stats"]["point_head"] = s
+    p, s = convert_pvrcnn_roi_head(tree.sub("roi_head"),
+                                   model_cfg.ROI_HEAD)
+    out["params"]["roi_head"] = p
+    out["batch_stats"]["roi_head"] = s
+    return out
+
+
+def _deconv3d_kernel(w, cin, cout):
+    """spconv SparseInverseConv3d weight -> flax ConvTranspose kernel:
+    normalize to (k, k, k, in, out), then mirror the spatial taps
+    (flax ConvTranspose runs an input-dilated correlation — torch
+    gradient-of-conv semantics with the spatial axes flipped, same rule
+    the 2D deconv mapping uses)."""
+    w = _conv3d_kernel(w, cin, cout)
+    return np.ascontiguousarray(w[::-1, ::-1, ::-1])
+
+
+def convert_unet_dense(tree, input_channels=4, return_encoded=True):
+    """Reference UNetV2 (spconv_unet.py:50-212) onto the DENSE flax
+    ``voxel_unet.UNetV2``: VoxelBackBone8x-style encoder (BOTH subm
+    blocks per level map: conv{L}.1 -> conv{L}_a, conv{L}.2 ->
+    conv{L}_b) + UR decoder (conv_up_t{k}/conv_up_m{k}/inv_conv{k}/
+    conv5)."""
+    widths = [16, 16, 32, 64, 64]
+    params, stats = {}, {}
+
+    def seq(conv_tree, bn_tree, name, cin, cout):
+        w = _conv3d_kernel(conv_tree["weight"], cin, cout)
+        params[name] = {"Conv_0": {"kernel": w}}
+        mean = np.asarray(bn_tree["running_mean"])
+        if "bias" in conv_tree:
+            mean = mean - np.asarray(conv_tree["bias"])
+        params[name]["BatchNorm_0"] = {"scale": bn_tree["weight"],
+                                       "bias": bn_tree["bias"]}
+        stats[name] = {"BatchNorm_0": {"mean": mean,
+                                       "var": bn_tree["running_var"]}}
+
+    seq(tree.sub("conv_input.0"), tree.sub("conv_input.1"), "conv_input",
+        input_channels, widths[0])
+    seq(tree.sub("conv1.0.0"), tree.sub("conv1.0.1"), "conv1",
+        widths[0], widths[1])
+    for lvl, cin, cout in ((2, widths[1], widths[2]),
+                           (3, widths[2], widths[3]),
+                           (4, widths[3], widths[4])):
+        seq(tree.sub(f"conv{lvl}.0.0"), tree.sub(f"conv{lvl}.0.1"),
+            f"conv{lvl}_down", cin, cout)
+        seq(tree.sub(f"conv{lvl}.1.0"), tree.sub(f"conv{lvl}.1.1"),
+            f"conv{lvl}_a", cout, cout)
+        seq(tree.sub(f"conv{lvl}.2.0"), tree.sub(f"conv{lvl}.2.1"),
+            f"conv{lvl}_b", cout, cout)
+    if return_encoded:
+        seq(tree.sub("conv_out.0"), tree.sub("conv_out.1"), "conv_out",
+            widths[4], 128)
+
+    # decoder: ur4..ur1 + inv_conv4..2 + conv5
+    ur_widths = {4: (64, 64), 3: (64, 64), 2: (32, 32), 1: (16, 16)}
+    inv_pairs = {4: (64, 64), 3: (64, 32), 2: (32, 16)}
+    for k in (4, 3, 2, 1):
+        c_lat, c_mid = ur_widths[k]
+        up, us = {}, {}
+        convert_res_block3d(tree.sub(f"conv_up_t{k}"), "conv_up_t", up, us)
+        mp, ms = {}, {}
+        ct, bt = tree.sub(f"conv_up_m{k}.0"), tree.sub(f"conv_up_m{k}.1")
+        w = _conv3d_kernel(ct["weight"], 2 * c_lat, c_mid)
+        mean = np.asarray(bt["running_mean"])
+        if "bias" in ct:
+            mean = mean - np.asarray(ct["bias"])
+        up["conv_up_m"] = {
+            "Conv_0": {"kernel": w},
+            "BatchNorm_0": {"scale": bt["weight"], "bias": bt["bias"]},
+        }
+        us["conv_up_m"] = {"BatchNorm_0": {"mean": mean,
+                                           "var": bt["running_var"]}}
+        params[f"ur{k}"], stats[f"ur{k}"] = up, us
+        if k in inv_pairs:
+            cin, cout = inv_pairs[k]
+            ct = tree.sub(f"inv_conv{k}.0")
+            bt = tree.sub(f"inv_conv{k}.1")
+            mean = np.asarray(bt["running_mean"])
+            if "bias" in ct:
+                mean = mean - np.asarray(ct["bias"])
+            params[f"inv_conv{k}"] = {
+                "ConvTranspose_0": {
+                    "kernel": _deconv3d_kernel(ct["weight"], cin, cout)},
+                "BatchNorm_0": {"scale": bt["weight"], "bias": bt["bias"]},
+            }
+            stats[f"inv_conv{k}"] = {
+                "BatchNorm_0": {"mean": mean, "var": bt["running_var"]}}
+    seq(tree.sub("conv5.0.0"), tree.sub("conv5.0.1"), "conv5", 16, 16)
+    return params, stats
+
+
+def convert_sparse_unet(tree, input_channels=4, return_encoded=True):
+    """Reference UNetV2 onto the SPARSE flax ``SparseUNetV2``: encoder =
+    the convert_sparse_voxel_backbone schema; decoder UR blocks map
+    conv_up_t{k} SparseBasicBlocks onto SparseResBlock kernel1/bn1 +
+    kernel2/bn2 (conv biases folded into BN means), conv_up_m{k} and
+    conv5 onto SubMConvBlocks, inv_conv{k} onto SparseInverseConv
+    (DIRECT tap order — the inverse neighbor table replays the forward
+    pairs, so no mirror is applied, unlike the dense ConvTranspose
+    path)."""
+    widths = [16, 16, 32, 64, 64]
+    params, stats = convert_sparse_voxel_backbone(
+        tree, widths, 128, input_channels=input_channels,
+        with_out=return_encoded)
+
+    def fold(bn_tree, conv_tree):
+        mean = np.asarray(bn_tree["running_mean"])
+        if "bias" in conv_tree:
+            mean = mean - np.asarray(conv_tree["bias"])
+        return mean
+
+    ur_widths = {4: 64, 3: 64, 2: 32, 1: 16}
+    inv_pairs = {4: (64, 64), 3: (64, 32), 2: (32, 16)}
+    for k in (4, 3, 2, 1):
+        c_lat = ur_widths[k]
+        up, us = {}, {}
+        # conv_up_t: SparseBasicBlock conv1/bn1/conv2/bn2
+        tp, ts = {}, {}
+        for i, (cname, bname) in enumerate((("conv1", "bn1"),
+                                            ("conv2", "bn2")), start=1):
+            ct = tree.sub(f"conv_up_t{k}.{cname}")
+            bt = tree.sub(f"conv_up_t{k}.{bname}")
+            w = _conv3d_kernel(ct["weight"], c_lat, c_lat)
+            tp[f"kernel{i}"] = w.reshape(-1, c_lat, c_lat)
+            tp[f"bn{i}"] = {"scale": bt["weight"], "bias": bt["bias"]}
+            ts[f"bn{i}"] = {"mean": fold(bt, ct),
+                            "var": bt["running_var"]}
+        up["conv_up_t"], us["conv_up_t"] = tp, ts
+        ct, bt = tree.sub(f"conv_up_m{k}.0"), tree.sub(f"conv_up_m{k}.1")
+        w = _conv3d_kernel(ct["weight"], 2 * c_lat, c_lat)
+        up["conv_up_m"] = {
+            "kernel": w.reshape(-1, 2 * c_lat, c_lat),
+            "bn": {"scale": bt["weight"], "bias": bt["bias"]},
+        }
+        us["conv_up_m"] = {"bn": {"mean": fold(bt, ct),
+                                  "var": bt["running_var"]}}
+        params[f"ur{k}"], stats[f"ur{k}"] = up, us
+        if k in inv_pairs:
+            cin, cout = inv_pairs[k]
+            ct = tree.sub(f"inv_conv{k}.0")
+            bt = tree.sub(f"inv_conv{k}.1")
+            w = _conv3d_kernel(ct["weight"], cin, cout)
+            params[f"inv_conv{k}"] = {
+                "kernel": w.reshape(-1, cin, cout),
+                "bn": {"scale": bt["weight"], "bias": bt["bias"]},
+            }
+            stats[f"inv_conv{k}"] = {"bn": {"mean": fold(bt, ct),
+                                            "var": bt["running_var"]}}
+    ct, bt = tree.sub("conv5.0.0"), tree.sub("conv5.0.1")
+    w = _conv3d_kernel(ct["weight"], 16, 16)
+    params["conv5"] = {"kernel": w.reshape(-1, 16, 16),
+                       "bn": {"scale": bt["weight"], "bias": bt["bias"]}}
+    stats["conv5"] = {"bn": {"mean": fold(bt, ct),
+                             "var": bt["running_var"]}}
+    return params, stats
+
+
+def convert_intra_part_head(tree, head_cfg):
+    """PointIntraPartOffsetHead (point_intra_part_head.py:10-37):
+    cls_layers + part_reg_layers (+ box_layers when a box branch is
+    configured), all plain make_fc_layers -> flax cls_/part_/box_ flat
+    names."""
+    params, stats = {}, {}
+    triples = [("cls_layers", "cls", list(head_cfg.CLS_FC)),
+               ("part_reg_layers", "part", list(head_cfg.PART_FC))]
+    if "box_layers.0.weight" in tree:
+        triples.append(("box_layers", "box", list(head_cfg.REG_FC)))
+    for torch_name, prefix, fcs in triples:
+        p, s, idx = convert_fc_bn_stack(
+            tree.sub(torch_name), len(fcs), lambda k: False, prefix)
+        params.update(p)
+        stats.update(s)
+        fin = tree.sub(torch_name).sub(str(idx))
+        params[f"{prefix}_out"] = {"kernel": _dense(fin["weight"]),
+                                   "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_parta2_roi_head(tree, roi_cfg):
+    """PartA2FCHead (partA2_head.py:10-58) -> flax PartA2HeadNet:
+    conv_part/conv_rpn two-block SubM stacks onto MaskedConvBlocks,
+    shared/cls/reg stacks (same dropout index rules as PVRCNNHead) with
+    final convs split out as cls_pred/reg_pred."""
+    dp = float(roi_cfg.get("DP_RATIO", 0.0))
+    params, stats = {}, {}
+    c0 = int(roi_cfg.ROI_AWARE_POOL.NUM_FEATURES) // 2
+    for torch_name, flax_base, cins in (
+        ("conv_part", "conv_part", (4, 64)),
+        ("conv_rpn", "conv_rpn", (None, 64)),
+    ):
+        for j, suffix in enumerate(("a", "b")):
+            ct = tree.sub(f"{torch_name}.{j}.0")
+            bt = tree.sub(f"{torch_name}.{j}.1")
+            cout = 64 if j == 0 else c0
+            cin = cins[j] if cins[j] is not None else None
+            w = np.asarray(ct["weight"])
+            if cin is None:  # conv_rpn input width comes from the ckpt
+                cin = w.shape[-2] if w.shape[-1] == 64 else w.shape[-1]
+            w = _conv3d_kernel(w, cin, cout)
+            mean = np.asarray(bt["running_mean"])
+            if "bias" in ct:
+                mean = mean - np.asarray(ct["bias"])
+            params[f"{flax_base}_{suffix}"] = {
+                "Conv_0": {"kernel": w},
+                "BatchNorm_0": {"scale": bt["weight"],
+                                "bias": bt["bias"]},
+            }
+            stats[f"{flax_base}_{suffix}"] = {
+                "BatchNorm_0": {"mean": mean, "var": bt["running_var"]}}
+    n_sh = len(list(roi_cfg.SHARED_FC))
+    p, s, _ = convert_fc_bn_stack(
+        tree.sub("shared_fc_layer"), n_sh,
+        lambda k: k != n_sh - 1 and dp > 0, "shared")
+    params.update(p)
+    stats.update(s)
+    for torch_name, prefix, pred, fc_key in (
+        ("cls_layers", "cls", "cls_pred", "CLS_FC"),
+        ("reg_layers", "reg", "reg_pred", "REG_FC"),
+    ):
+        n = len(list(roi_cfg[fc_key]))
+        p, s, idx = convert_fc_bn_stack(
+            tree.sub(torch_name), n, lambda k: dp >= 0 and k == 0, prefix)
+        params.update(p)
+        stats.update(s)
+        fin = tree.sub(torch_name).sub(str(idx))
+        params[pred] = {"kernel": _dense(fin["weight"]),
+                        "bias": fin["bias"]}
+    return params, stats
+
+
+def convert_parta2_checkpoint(state_dict, model_cfg, anchor=True):
+    """Part-A2 (PartA2_net.py) / Part-A2-free: UNetV2 backbone (dense or
+    sparse flax target by BACKBONE_3D.NAME) + optional BEV RPN
+    (anchor variant) + PointIntraPartOffsetHead + PartA2FCHead."""
+    tree = TorchTree(state_dict)
+    params, stats = {}, {}
+    bb_cfg = model_cfg.BACKBONE_3D
+    return_encoded = bool(bb_cfg.get("RETURN_ENCODED_TENSOR", True))
+    if bb_cfg.get("NAME", "UNetV2") == "SparseUNetV2":
+        p, s = convert_sparse_unet(tree.sub("backbone_3d"),
+                                   input_channels=4,
+                                   return_encoded=return_encoded)
+    else:
+        p, s = convert_unet_dense(tree.sub("backbone_3d"),
+                                  input_channels=4,
+                                  return_encoded=return_encoded)
+    params["backbone_3d"], stats["backbone_3d"] = p, s
+    if anchor:
+        p, s = convert_bev_backbone(tree.sub("backbone_2d"),
+                                    model_cfg.BACKBONE_2D)
+        params["backbone_2d"], stats["backbone_2d"] = p, s
+        params["dense_head"] = convert_anchor_head_single(
+            tree.sub("dense_head"))
+    p, s = convert_intra_part_head(tree.sub("point_head"),
+                                   model_cfg.POINT_HEAD)
+    params["point_head"], stats["point_head"] = p, s
+    p, s = convert_parta2_roi_head(tree.sub("roi_head"),
+                                   model_cfg.ROI_HEAD)
+    params["roi_head"], stats["roi_head"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_center_head(tree, model_cfg, num_class_each_head):
     """CenterHead (center_head.py:11-101) -> flax CenterHeadNet:
     shared_conv Sequential + heads_list.{i} SeparateHeads, whose fc
@@ -472,22 +1139,56 @@ def convert_pointpillar_checkpoint(state_dict, model_cfg):
 
 
 def convert_second_checkpoint(state_dict, model_cfg):
-    """SECOND (dense VoxelBackBone8x analogue): backbone_3d +
-    backbone_2d + dense_head.  MeanVFE and HeightCompression have no
-    parameters."""
+    """SECOND: backbone_3d (dense analogue, sparse gather-matmul, or
+    res variant by BACKBONE_3D.NAME) + backbone_2d + dense_head.
+    MeanVFE and HeightCompression have no parameters."""
     tree = TorchTree(state_dict)
     bb_cfg = model_cfg.BACKBONE_3D
     widths = list(bb_cfg.get("NUM_FILTERS", [16, 16, 32, 64, 64]))
     c_out = int(bb_cfg.get("NUM_OUTPUT_FEATURES", 128))
     params, stats = {}, {}
-    p, s = convert_voxel_backbone_dense(tree.sub("backbone_3d"),
-                                        widths, c_out, input_channels=4)
+    bb_name = bb_cfg.get("NAME", "VoxelBackBone8x")
+    if bb_name == "SparseVoxelBackBone8x":
+        p, s = convert_sparse_voxel_backbone(tree.sub("backbone_3d"),
+                                             widths, c_out,
+                                             input_channels=4)
+    elif bb_name == "VoxelResBackBone8x":
+        p, s = convert_voxel_res_backbone_dense(tree.sub("backbone_3d"),
+                                                input_channels=4)
+    else:
+        p, s = convert_voxel_backbone_dense(tree.sub("backbone_3d"),
+                                            widths, c_out,
+                                            input_channels=4)
     params["backbone_3d"], stats["backbone_3d"] = p, s
     p, s = convert_bev_backbone(tree.sub("backbone_2d"),
                                 model_cfg.BACKBONE_2D)
     params["backbone_2d"], stats["backbone_2d"] = p, s
     params["dense_head"] = convert_anchor_head_single(tree.sub("dense_head"))
     return {"params": params, "batch_stats": stats}
+
+
+def convert_second_iou_checkpoint(state_dict, model_cfg):
+    """SECOND-IoU (second_net_iou.py): the SECOND first stage + the
+    SECONDHead IoU-quality RoI head."""
+    out = convert_second_checkpoint(state_dict, model_cfg)
+    tree = TorchTree(state_dict)
+    p, s = convert_second_roi_head(tree.sub("roi_head"),
+                                   model_cfg.ROI_HEAD)
+    out["params"]["roi_head"] = p
+    out["batch_stats"]["roi_head"] = s
+    return out
+
+
+def convert_voxelrcnn_checkpoint(state_dict, model_cfg):
+    """Voxel-RCNN (voxel_rcnn.py): the SECOND first stage + the
+    VoxelRCNNHead multi-scale grid-pool RoI head."""
+    out = convert_second_checkpoint(state_dict, model_cfg)
+    tree = TorchTree(state_dict)
+    p, s = convert_voxelrcnn_roi_head(tree.sub("roi_head"),
+                                      model_cfg.ROI_HEAD)
+    out["params"]["roi_head"] = p
+    out["batch_stats"]["roi_head"] = s
+    return out
 
 
 def convert_checkpoint_any(state_dict, model_cfg, num_class=3,
@@ -498,9 +1199,39 @@ def convert_checkpoint_any(state_dict, model_cfg, num_class=3,
         return convert_pointpillar_checkpoint(state_dict, model_cfg)
     if name in ("SECOND", "SECONDNet"):
         return convert_second_checkpoint(state_dict, model_cfg)
+    if name == "SECONDNetIoU":
+        return convert_second_iou_checkpoint(state_dict, model_cfg)
+    if name == "VoxelRCNN":
+        return convert_voxelrcnn_checkpoint(state_dict, model_cfg)
+    if name == "PartA2Free" or (
+        name == "PointRCNN" and "BACKBONE_3D" in model_cfg
+        and "UNet" in str(model_cfg.BACKBONE_3D.get("NAME", ""))
+    ):
+        # the reference overloads MODEL.NAME 'PointRCNN' for PartA2-free
+        # (PartA2_free.yaml wires it with a UNetV2 voxel backbone)
+        return convert_parta2_checkpoint(state_dict, model_cfg,
+                                         anchor=False)
+    if name == "PointRCNN":
+        return convert_pointrcnn_checkpoint(
+            state_dict, model_cfg, input_channels=input_channels)
+    if name in ("PVRCNN", "PVRCNNPlusPlus"):
+        return convert_pvrcnn_checkpoint(state_dict, model_cfg)
+    if name == "PartA2Net":
+        return convert_parta2_checkpoint(state_dict, model_cfg, anchor=True)
     if name == "CenterPoint":
         return convert_centerpoint_checkpoint(
             state_dict, model_cfg, class_names or [])
+    if name == "CaDDN":
+        # The reference CaDDN embeds torchvision's deeplabv3_resnet101
+        # trunk (pcdet/models/backbones_3d/vfe/image_vfe_modules/ffn/
+        # ddn/ddn_deeplabv3.py); the TPU DDN is a self-contained flax
+        # encoder by design (image_vfe.py docstring), so there is no
+        # 1:1 weight mapping — CaDDN parity is architectural, not
+        # checkpoint-level.
+        raise NotImplementedError(
+            "CaDDN checkpoints are not convertible: the reference DDN "
+            "is a torchvision deeplabv3_resnet101 trunk with a "
+            "different architecture from the TPU-native flax DDN")
     return convert_checkpoint(
         state_dict, model_cfg, num_class=num_class,
         input_channels=input_channels,
