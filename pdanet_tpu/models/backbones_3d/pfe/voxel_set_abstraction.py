@@ -81,6 +81,7 @@ def multi_scale_occupancy(voxel_coords, grid_size, strides):
     """
     B, V, _ = voxel_coords.shape
     nx, ny, nz = int(grid_size[0]), int(grid_size[1]), int(grid_size[2])
+    nz = nz + 1  # reference sparse_shape top z plane (voxel_backbone.py)
     valid = voxel_coords[..., 0] >= 0
     zs = jnp.where(valid, voxel_coords[..., 0], nz)
     ys = jnp.where(valid, voxel_coords[..., 1], ny)
@@ -95,10 +96,13 @@ def multi_scale_occupancy(voxel_coords, grid_size, strides):
     if 1 in strides:
         out[1] = cur > 0
     while s < max(strides):
+        # stride 8 == conv4: reference z padding 0 (same geometry and
+        # tiny-grid fallback as the dense backbones)
+        z_pad = (0, 0) if (s == 4 and cur.shape[1] >= 3) else (1, 1)
         cur = jax.lax.reduce_window(
             cur, -jnp.inf, jax.lax.max,
             window_dimensions=(1, 3, 3, 3), window_strides=(1, 2, 2, 2),
-            padding="SAME",
+            padding=((0, 0), z_pad, (1, 1), (1, 1)),
         )
         s *= 2
         if s in strides:

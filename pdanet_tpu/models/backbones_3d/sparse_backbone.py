@@ -27,6 +27,7 @@ from ...ops.sparse_conv import (
     build_neighbor_table,
     downsample_coords,
     gather_matmul_conv,
+    stage_grids,
 )
 from ...utils.easydict import EasyDict
 
@@ -104,12 +105,9 @@ class SparseVoxelBackBone8x(nn.Module):
         V = voxel_coords.shape[1]
         budgets = list(cfg.get("ACTIVE_BUDGETS", [V, V, V, V]))
 
-        nx, ny, nz = (int(g) for g in self.grid_size)
-        grids = []
-        g = (nx, ny, nz)
-        for _ in range(4):
-            grids.append(g)
-            g = ((g[0] + 1) // 2, (g[1] + 1) // 2, (g[2] + 1) // 2)
+        # reference stage geometry (+1 top z plane, conv4 z pad 0 —
+        # see ops/sparse_conv.stage_grids)
+        grids, conv4_pad = stage_grids(self.grid_size)
 
         def level_grid(g):  # zyx ordering for the key builder
             return (g[0], g[1], g[2])
@@ -131,11 +129,14 @@ class SparseVoxelBackBone8x(nn.Module):
                  ("conv3_down", "conv3_a", "conv3_b", widths[3]),
                  ("conv4_down", "conv4_a", "conv4_b", widths[4])]
         for lvl, (dn, sa, sb, width) in enumerate(names, start=1):
-            out_coords = downsample_coords(coords, int(budgets[lvl]))
+            gx, gy, gz = grids[lvl]
+            out_coords = downsample_coords(
+                coords, int(budgets[lvl]), out_grid=(gz, gy, gx))
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             dtab = build_neighbor_table(
                 coords, level_grid(grids[lvl - 1]),
                 query_coords=out_coords, stride=(2, 2, 2),
+                padding=conv4_pad if lvl == 3 else None,
             )
             K = 27
             C = feats.shape[-1]
@@ -153,15 +154,20 @@ class SparseVoxelBackBone8x(nn.Module):
             feats = SubMConvBlock(width, name=sb)(feats, tab, valid, train)
             multi_scale[f"x_conv{lvl + 1}"] = (coords, feats, valid)
 
-        # conv_out: z-compressing (3,1,1) stride (2,1,1) conv
-        gz4 = grids[3]
+        # conv_out: z-compressing (3,1,1) stride (2,1,1) conv with the
+        # reference's last_pad=0 (spconv_backbone.py:110-115)
+        X4, Y4, Z4 = grids[3]
+        zo_ref = Z4 >= 3
+        Zo = max((Z4 - 1) // 2 if zo_ref else (Z4 + 1) // 2, 1)
         out_coords = downsample_coords(
-            coords, int(budgets[3]), stride=(2, 1, 1)
+            coords, int(budgets[3]), stride=(2, 1, 1),
+            out_grid=(Zo, Y4, X4),
         )
         out_valid = jnp.all(out_coords >= 0, axis=-1)
         otab = build_neighbor_table(
-            coords, level_grid(gz4), query_coords=out_coords,
+            coords, level_grid(grids[3]), query_coords=out_coords,
             stride=(2, 1, 1), kernel=(3, 1, 1),
+            padding=(0, 0, 0) if zo_ref else None,
         )
         w = self.param(
             "conv_out_kernel",
@@ -172,9 +178,7 @@ class SparseVoxelBackBone8x(nn.Module):
         h = MaskedBatchNorm(name="conv_out_bn")(h, out_valid, train)
         h = nn.relu(h)
 
-        # dense scatter of the FINAL level only: (Z4/2, Y4, X4) is small
-        X4, Y4, Z4 = grids[3]
-        Zo = (Z4 + 1) // 2
+        # dense scatter of the FINAL level only: (Zo, Y4, X4) is small
         B = h.shape[0]
         canvas = jnp.zeros((B, Zo, Y4, X4, c_out), h.dtype)
         zs = jnp.where(out_valid, out_coords[..., 0], Zo)

@@ -25,6 +25,7 @@ from ...ops.sparse_conv import (
     build_neighbor_table,
     downsample_coords,
     gather_matmul_conv,
+    stage_grids,
 )
 from ...utils.easydict import EasyDict
 from .sparse_backbone import MaskedBatchNorm, SubMConvBlock
@@ -108,11 +109,9 @@ class SparseUNetV2(nn.Module):
         V = voxel_coords.shape[1]
         budgets = list(cfg.get("ACTIVE_BUDGETS", [V, V, V, V]))
 
-        grids = []
-        g = tuple(int(x) for x in self.grid_size)  # (nx, ny, nz)
-        for _ in range(4):
-            grids.append(g)
-            g = ((g[0] + 1) // 2, (g[1] + 1) // 2, (g[2] + 1) // 2)
+        # reference stage geometry (+1 top z plane, conv4 z pad 0 as in
+        # spconv_unet.py:92 — see ops/sparse_conv.stage_grids)
+        grids, conv4_pad = stage_grids(self.grid_size)
 
         coords = voxel_coords
         valid = jnp.all(coords >= 0, axis=-1)
@@ -132,11 +131,14 @@ class SparseUNetV2(nn.Module):
                  ("conv3_down", "conv3_a", "conv3_b", widths[3]),
                  ("conv4_down", "conv4_a", "conv4_b", widths[4])]
         for lvl, (dn, sa, sb, width) in enumerate(names, start=1):
-            out_coords = downsample_coords(coords, int(budgets[lvl]))
+            gx, gy, gz = grids[lvl]
+            out_coords = downsample_coords(
+                coords, int(budgets[lvl]), out_grid=(gz, gy, gx))
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             dtab = build_neighbor_table(
                 coords, grids[lvl - 1], query_coords=out_coords,
                 stride=(2, 2, 2),
+                padding=conv4_pad if lvl == 3 else None,
             )
             w = self.param(
                 f"{dn}_kernel",
@@ -155,12 +157,17 @@ class SparseUNetV2(nn.Module):
 
         # ---- encoder output for the RPN head (spconv_unet.py:97-106) ----
         if cfg.get("RETURN_ENCODED_TENSOR", True):
+            X4, Y4, Z4 = grids[3]
+            zo_ref = Z4 >= 3
+            Zo = max((Z4 - 1) // 2 if zo_ref else (Z4 + 1) // 2, 1)
             out_coords = downsample_coords(
-                coords, int(budgets[3]), stride=(2, 1, 1))
+                coords, int(budgets[3]), stride=(2, 1, 1),
+                out_grid=(Zo, Y4, X4))
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             otab = build_neighbor_table(
                 coords, grids[3], query_coords=out_coords,
                 stride=(2, 1, 1), kernel=(3, 1, 1),
+                padding=(0, 0, 0) if zo_ref else None,
             )
             w = self.param(
                 "conv_out_kernel",
@@ -170,8 +177,6 @@ class SparseUNetV2(nn.Module):
             h = gather_matmul_conv(feats, otab, w)
             h = MaskedBatchNorm(name="conv_out_bn")(h, out_valid, train)
             h = nn.relu(h)
-            X4, Y4, Z4 = grids[3]
-            Zo = (Z4 + 1) // 2
             B = h.shape[0]
             canvas = jnp.zeros((B, Zo, Y4, X4, c_out), h.dtype)
             zs = jnp.where(out_valid, out_coords[..., 0], Zo)
@@ -197,7 +202,8 @@ class SparseUNetV2(nn.Module):
             c_coarse, u_coarse = src
             c_fine, f_fine, v_fine = laterals[lvl]
             inv_tab = build_inverse_neighbor_table(
-                c_coarse, grids[lvl + 1], query_coords=c_fine)
+                c_coarse, grids[lvl + 1], query_coords=c_fine,
+                padding=conv4_pad if lvl == 2 else None)
             u = SparseInverseConv(up_widths[i], name=f"inv_conv{lvl + 2}")(
                 u_coarse, inv_tab, v_fine, train)
             u = SparseURBlock(ur_widths[i], name=f"ur{lvl + 1}")(

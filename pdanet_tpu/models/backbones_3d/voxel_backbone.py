@@ -8,10 +8,19 @@ batched contractions, so the rebuild scatters the (B, V, C) voxel
 features into a dense channels-last ``(B, Z, Y, X, C)`` grid once and
 runs ordinary ``nn.Conv`` 3D stacks — the same stage layout (x1, x2
 stride-2, x3 stride-2, x4 stride-2, z-compressing conv_out), the same
-channel ladder (16-16-32-64-64-128), SAME padding.  At KITTI/ONCE grid
-sizes the dense grid is MXU-tileable and XLA fuses the BN+ReLU chains;
-a gather-matmul submanifold formulation (host-built rulebooks) is the
-planned upgrade for very large grids (see docs/STATUS.md).
+channel ladder (16-16-32-64-64-128).  At KITTI/ONCE grid sizes the
+dense grid is MXU-tileable and XLA fuses the BN+ReLU chains; the
+gather-matmul submanifold formulation (sparse_backbone.py) covers very
+large grids.
+
+Geometry matches the reference checkpoint contract exactly: the grid
+carries the reference's empty top z plane (sparse_shape =
+``grid_size[::-1] + [1, 0, 0]``, spconv_backbone.py:75), stride-2 convs
+use explicit torch pad-1 alignment (flax SAME splits even-dim padding
+as (0, 1), shifting every window by one), conv4's z axis uses the
+reference's ``padding=(0, 1, 1)`` (:105) and conv_out its ``last_pad=0``
+(:110-115) — so the KITTI z chain is 41→21→11→5→2 and the BEV map is
+``2*128 = 256`` channels, as a converted reference checkpoint expects.
 """
 
 from typing import Any
@@ -22,10 +31,16 @@ import jax.numpy as jnp
 from ...utils.easydict import EasyDict
 
 
-def scatter_to_dense(voxel_features, voxel_coords, grid_size):
-    """(B, V, C) + (B, V, 3) zyx coords (-1 pads) -> (B, Z, Y, X, C)."""
+def scatter_to_dense(voxel_features, voxel_coords, grid_size, z_pad=1):
+    """(B, V, C) + (B, V, 3) zyx coords (-1 pads) -> (B, Z+z_pad, Y, X, C).
+
+    ``z_pad=1`` reproduces the reference's sparse_shape =
+    ``grid_size[::-1] + [1, 0, 0]`` (spconv_backbone.py:75): one empty
+    top z plane, which shifts the downsample chain (41→21→11→5→2 on
+    KITTI) and thereby the BEV channel count."""
     B, V, C = voxel_features.shape
     nx, ny, nz = int(grid_size[0]), int(grid_size[1]), int(grid_size[2])
+    nz = nz + int(z_pad)
     valid = voxel_coords[..., 0] >= 0
     zs = jnp.where(valid, voxel_coords[..., 0], nz)  # oob -> dropped
     ys = jnp.where(valid, voxel_coords[..., 1], ny)
@@ -36,10 +51,30 @@ def scatter_to_dense(voxel_features, voxel_coords, grid_size):
     return canvas.at[batch_idx, zs, ys, xs].set(feats, mode="drop")
 
 
+def pad_top_z(x):
+    """Append the reference's empty top z plane to a pre-scattered dense
+    grid (dynamic-VFE path, which scatters to the raw (nz, ny, nx))."""
+    return jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+
+
+def down_z_pad(z):
+    """z padding for conv4/conv_out: the reference uses z padding 0
+    there (``padding=(0, 1, 1)`` spconv_backbone.py:105 and
+    ``last_pad=0`` :110).  Degenerate tiny test grids where pad-0 would
+    collapse z below one plane (shapes the reference itself cannot run)
+    fall back to pad 1."""
+    return (0, 0) if int(z) >= 3 else (1, 1)
+
+
 class Conv3DBNReLU(nn.Module):
     features: int
     kernel: Any = (3, 3, 3)
     stride: Any = (1, 1, 1)
+    #: None -> torch pad k//2 per axis (1 for k=3, 0 for k=1).  Explicit
+    #: (lo, hi) pairs override (conv4's z pad 0, conv_out's last_pad 0).
+    #: flax SAME is NOT equivalent at stride 2 on even dims (it splits
+    #: the single pad as (0, 1), shifting every window by one vs torch).
+    padding: Any = None
     # flax 0.99 == spconv's torch momentum 0.01 (spconv_backbone.py:73):
     # running stats converge over ~500 steps.  BN_MOMENTUM in the backbone
     # config overrides (fixture-scale runs need faster-settling stats).
@@ -47,9 +82,12 @@ class Conv3DBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        pad = self.padding
+        if pad is None:
+            pad = tuple((int(k) // 2, int(k) // 2) for k in self.kernel)
         x = nn.Conv(
             self.features, kernel_size=tuple(self.kernel),
-            strides=tuple(self.stride), padding="SAME", use_bias=False,
+            strides=tuple(self.stride), padding=pad, use_bias=False,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,
@@ -79,9 +117,9 @@ class VoxelBackBone8x(nn.Module):
         bn_m = float(cfg.get("BN_MOMENTUM", 0.99))
 
         # voxel_coords None => voxel_features is already the dense grid
-        # (dynamic VFEs scatter on-device)
+        # (dynamic VFEs scatter on-device, without the top z plane)
         if voxel_coords is None:
-            x = voxel_features
+            x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(widths[0], name="conv_input", bn_momentum=bn_m)(x, train)
@@ -92,12 +130,18 @@ class VoxelBackBone8x(nn.Module):
         x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(
             x2, train)
         x3 = Conv3DBNReLU(widths[3], name="conv3", bn_momentum=bn_m)(x, train)
-        x = Conv3DBNReLU(widths[4], stride=(2, 2, 2), name="conv4_down", bn_momentum=bn_m)(
-            x3, train)
-        x4 = Conv3DBNReLU(widths[4], name="conv4", bn_momentum=bn_m)(x, train)
-        # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv (ref :100-105)
+        # conv4: reference z padding 0 (spconv_backbone.py:105)
         x = Conv3DBNReLU(
-            c_out, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
+            widths[4], stride=(2, 2, 2),
+            padding=(down_z_pad(x3.shape[1]), (1, 1), (1, 1)),
+            name="conv4_down", bn_momentum=bn_m)(x3, train)
+        x4 = Conv3DBNReLU(widths[4], name="conv4", bn_momentum=bn_m)(x, train)
+        # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv with
+        # last_pad=0 (ref :100-115)
+        x = Conv3DBNReLU(
+            c_out, kernel=(3, 1, 1), stride=(2, 1, 1),
+            padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
+            name="conv_out",
         )(x, train)
         # height compression: (B, Z', Y', X', C) -> (B, Y', X', Z'*C)
         B, Z, Y, X, C = x.shape
@@ -153,7 +197,7 @@ class VoxelResBackBone8x(nn.Module):
     def __call__(self, voxel_features, voxel_coords, train=False):
         bn_m = float(EasyDict(self.model_cfg).get("BN_MOMENTUM", 0.99))
         if voxel_coords is None:  # dynamic VFE: pre-scattered dense grid
-            x = voxel_features
+            x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(16, name="conv_input", bn_momentum=bn_m)(x, train)
@@ -165,10 +209,15 @@ class VoxelResBackBone8x(nn.Module):
         x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(x2, train)
         x3 = ResBlock3D(64, name="res3_b", bn_momentum=bn_m)(
             ResBlock3D(64, name="res3_a", bn_momentum=bn_m)(x, train), train)
-        x = Conv3DBNReLU(128, stride=(2, 2, 2), name="conv4_down", bn_momentum=bn_m)(x3, train)
+        # conv4 z pad 0 (spconv_backbone.py:219 padding=(0, 1, 1))
+        x = Conv3DBNReLU(
+            128, stride=(2, 2, 2),
+            padding=(down_z_pad(x3.shape[1]), (1, 1), (1, 1)),
+            name="conv4_down", bn_momentum=bn_m)(x3, train)
         x4 = ResBlock3D(128, name="res4_b", bn_momentum=bn_m)(
             ResBlock3D(128, name="res4_a", bn_momentum=bn_m)(x, train), train)
         out = Conv3DBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                           padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
                            name="conv_out", bn_momentum=bn_m)(x4, train)
         B, Z, Y, X, C = out.shape
         bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)

@@ -7,8 +7,12 @@ resolution; per-voxel features gathered at the input voxel coords.
 
 TPU-first divergence (same policy as voxel_backbone.py): dense
 channels-last grids + ordinary ``nn.Conv``/``nn.ConvTranspose`` replace
-spconv; SAME padding sets the stage dims, and transposed-conv outputs
-crop to the lateral stage's dims.
+spconv.  Geometry matches the reference exactly (empty top z plane,
+torch pad-1 down alignment, conv4 z pad 0, last_pad 0); the transposed
+convs replicate torch ConvTranspose3d gradient-of-conv semantics via
+mirrored kernels + explicit ``(k-1-p, k-1-p+op)`` low/high padding
+(crop-to-lateral covers the op choice), so converted reference UNetV2
+checkpoints land voxel-for-voxel.
 """
 
 from typing import Any
@@ -16,7 +20,13 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .voxel_backbone import Conv3DBNReLU, ResBlock3D, scatter_to_dense
+from .voxel_backbone import (
+    Conv3DBNReLU,
+    ResBlock3D,
+    down_z_pad,
+    pad_top_z,
+    scatter_to_dense,
+)
 
 
 def gather_from_dense(grid, voxel_coords):
@@ -50,15 +60,21 @@ def channel_reduction(x, out_channels):
 
 class UpConv3D(nn.Module):
     """Inverse conv (SparseInverseConv3d analogue): transposed 3x3x3
-    stride-2 conv + BN + ReLU, cropped to the lateral stage's dims."""
+    stride-2 conv + BN + ReLU, cropped to the lateral stage's dims.
+
+    ``padding`` follows the torch-equivalence rule ``(k-1-p, k-1-p+op)``
+    with op at its maximum (the crop handles smaller true outputs):
+    (1, 2) inverts a pad-1 downsample, (2, 3) a pad-0 one (conv4's z).
+    flax SAME would place the padding as (2, 1) — one voxel off."""
 
     features: int
+    padding: Any = ((1, 2), (1, 2), (1, 2))
 
     @nn.compact
     def __call__(self, x, target_shape, train=False):
         x = nn.ConvTranspose(
             self.features, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-            padding="SAME", use_bias=False,
+            padding=tuple(self.padding), use_bias=False,
         )(x)
         x = x[:, : target_shape[0], : target_shape[1], : target_shape[2], :]
         x = nn.BatchNorm(
@@ -96,7 +112,7 @@ class UNetV2(nn.Module):
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train=False):
         if voxel_coords is None:  # dynamic VFE: pre-scattered dense grid
-            x = voxel_features
+            x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(16, name="conv_input")(x, train)
@@ -107,7 +123,11 @@ class UNetV2(nn.Module):
         x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(x2, train)
         x = Conv3DBNReLU(64, name="conv3_a")(x, train)
         x3 = Conv3DBNReLU(64, name="conv3_b")(x, train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv4_down")(x3, train)
+        # conv4 z pad 0 (spconv_unet.py:92 padding=(0, 1, 1))
+        z4_pad = down_z_pad(x3.shape[1])
+        x = Conv3DBNReLU(
+            64, stride=(2, 2, 2), padding=(z4_pad, (1, 1), (1, 1)),
+            name="conv4_down")(x3, train)
         x = Conv3DBNReLU(64, name="conv4_a")(x, train)
         x4 = Conv3DBNReLU(64, name="conv4_b")(x, train)
 
@@ -115,7 +135,9 @@ class UNetV2(nn.Module):
         # RETURN_ENCODED_TENSOR: False (PartA2-free) skips it entirely
         if dict(self.model_cfg or {}).get("RETURN_ENCODED_TENSOR", True):
             out = Conv3DBNReLU(
-                128, kernel=(3, 1, 1), stride=(2, 1, 1), name="conv_out",
+                128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
+                name="conv_out",
             )(x4, train)
             B, Z, Y, X, C = out.shape
             bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(
@@ -123,9 +145,12 @@ class UNetV2(nn.Module):
         else:
             bev = None
 
-        # decoder (spconv_unet.py:195-203)
+        # decoder (spconv_unet.py:195-203); inv_conv4 inverts the
+        # z-pad-0 downsample
+        z4_inv = (2, 3) if z4_pad == (0, 0) else (1, 2)
         u = URBlock(64, name="ur4")(x4, x4, train)
-        u = UpConv3D(64, name="inv_conv4")(u, x3.shape[1:4], train)
+        u = UpConv3D(64, padding=(z4_inv, (1, 2), (1, 2)),
+                     name="inv_conv4")(u, x3.shape[1:4], train)
         u = URBlock(64, name="ur3")(x3, u, train)
         u = UpConv3D(32, name="inv_conv3")(u, x2.shape[1:4], train)
         u = URBlock(32, name="ur2")(x2, u, train)

@@ -132,7 +132,7 @@ class SparseNeighborGridPool(nn.Module):
         Returns:
             (B, G, C_out).
         """
-        from ...ops.sparse_conv import build_neighbor_table
+        from ...ops.sparse_conv import build_neighbor_table, stage_grids
 
         coords, feats, valid = entry
         c_mid, c_out = int(self.mlp[1]), int(self.mlp[2])
@@ -146,13 +146,10 @@ class SparseNeighborGridPool(nn.Module):
         origin = jnp.asarray(pc_range[:3], jnp.float32)
         cell_xyz = jnp.floor((query_xyz - origin) / vs).astype(jnp.int32)
         cell_zyx = cell_xyz[..., ::-1]
-        # level grid = repeated ceil-halving of the base grid (matches
-        # SparseVoxelBackBone8x's ladder)
-        lvl = [int(g) for g in grid_size]
-        s = int(stride)
-        while s > 1:
-            lvl = [(g + 1) // 2 for g in lvl]
-            s //= 2
+        # level grid from the shared reference chain (+1 top z plane,
+        # conv4 z pad 0 — must match SparseVoxelBackBone8x's ladder)
+        grids, _ = stage_grids(grid_size)
+        lvl = grids[int(stride).bit_length() - 1]
         tab = build_neighbor_table(
             coords, tuple(lvl), query_coords=cell_zyx
         )  # (B, G, 27)

@@ -32,6 +32,28 @@ import jax.numpy as jnp
 INVALID = jnp.int32(2**30)
 
 
+def stage_grids(grid_size):
+    """The reference backbone's 4-level stage-grid chain
+    (spconv_backbone.py:75-115): sparse_shape carries an empty top z
+    plane (+1); conv2/conv3 downsample with pad 1 (ceil-div dims);
+    conv4 uses z padding 0 (``padding=(0, 1, 1)``), i.e.
+    ``z4 = (z3 - 1) // 2``, with a pad-1 fallback for degenerate tiny
+    test grids (z3 < 3 — shapes the reference itself cannot run).
+
+    Returns:
+        (grids, conv4_pad): grids = [(nx, ny, nz)] for strides 1/2/4/8;
+        conv4_pad = (0, 1, 1) zyx, or None when the fallback applies.
+    """
+    nx, ny, nz = (int(g) for g in grid_size)
+    g0 = (nx, ny, nz + 1)
+    g1 = tuple((d + 1) // 2 for d in g0)
+    g2 = tuple((d + 1) // 2 for d in g1)
+    z4_ref = g2[2] >= 3
+    z4 = (g2[2] - 1) // 2 if z4_ref else (g2[2] + 1) // 2
+    g3 = ((g2[0] + 1) // 2, (g2[1] + 1) // 2, max(z4, 1))
+    return [g0, g1, g2, g3], ((0, 1, 1) if z4_ref else None)
+
+
 def _flat_key(coords, grid_size):
     """(..., 3) zyx -> flat scan key; invalid (negative) -> INVALID."""
     nx, ny, nz = (int(g) for g in grid_size)
@@ -57,9 +79,11 @@ def _kernel_offsets(kernel=(3, 3, 3)):
     )  # (K, 3) zyx
 
 
-@partial(jax.jit, static_argnames=("grid_size", "kernel", "stride"))
+@partial(jax.jit,
+         static_argnames=("grid_size", "kernel", "stride", "padding"))
 def build_neighbor_table(coords, grid_size, kernel=(3, 3, 3),
-                         query_coords=None, stride=(1, 1, 1)):
+                         query_coords=None, stride=(1, 1, 1),
+                         padding=None):
     """Per-site neighbor slot indices.
 
     Args:
@@ -68,10 +92,21 @@ def build_neighbor_table(coords, grid_size, kernel=(3, 3, 3),
             lattice; neighbors are looked up at
             ``query * stride + offset`` (strided conv); defaults to
             ``coords`` with stride 1 (submanifold).
+        padding: optional per-axis zyx conv padding; default k//2
+            (centered taps == spconv padding=1 for k=3).  The reference
+            uses padding=(0, 1, 1) at conv4 and last_pad=0 at conv_out
+            (spconv_backbone.py:105,110) — a pad below k//2 shifts the
+            tap window by (k//2 - pad) toward higher input coords.
     Returns:
         (B, Q, K) int32 slot indices into the support axis, -1 = absent.
     """
     offs = _kernel_offsets(kernel)  # (K, 3)
+    if padding is not None:
+        shift = jnp.asarray(
+            [int(k) // 2 - int(p) for k, p in zip(kernel, padding)],
+            jnp.int32,
+        )
+        offs = offs + shift[None, :]
     keys, _ = _flat_key(coords, grid_size)  # (B, V)
     order = jnp.argsort(keys, axis=-1)
     sorted_keys = jnp.take_along_axis(keys, order, axis=-1)
@@ -118,9 +153,11 @@ def gather_matmul_conv(features, nbr_idx, weight):
     )
 
 
-@partial(jax.jit, static_argnames=("grid_size", "kernel", "stride"))
+@partial(jax.jit,
+         static_argnames=("grid_size", "kernel", "stride", "padding"))
 def build_inverse_neighbor_table(coords, grid_size, query_coords,
-                                 kernel=(3, 3, 3), stride=(2, 2, 2)):
+                                 kernel=(3, 3, 3), stride=(2, 2, 2),
+                                 padding=None):
     """Transposed (inverse) conv table — spconv SparseInverseConv3d.
 
     For each FINE-lattice query site ``q`` (the pre-downsample active set
@@ -132,10 +169,19 @@ def build_inverse_neighbor_table(coords, grid_size, query_coords,
         coords: (B, V, 3) zyx coarse support sites (-1 padded), in
             COARSE-lattice units; ``grid_size`` is the coarse grid.
         query_coords: (B, Q, 3) zyx fine-lattice output sites (-1 padded).
+        padding: per-axis zyx padding of the FORWARD conv being
+            inverted (default k//2) — the inverse replays the same
+            shifted tap windows.
     Returns:
         (B, Q, K) int32 slots into the coarse support axis, -1 = absent.
     """
     offs = _kernel_offsets(kernel)  # (K, 3)
+    if padding is not None:
+        shift = jnp.asarray(
+            [int(k) // 2 - int(p) for k, p in zip(kernel, padding)],
+            jnp.int32,
+        )
+        offs = offs + shift[None, :]
     keys, _ = _flat_key(coords, grid_size)
     order = jnp.argsort(keys, axis=-1)
     sorted_keys = jnp.take_along_axis(keys, order, axis=-1)
@@ -162,17 +208,26 @@ def build_inverse_neighbor_table(coords, grid_size, query_coords,
     return jnp.where(keep, slots, -1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("out_budget", "stride"))
-def downsample_coords(coords, out_budget, stride=(2, 2, 2)):
+@partial(jax.jit, static_argnames=("out_budget", "stride", "out_grid"))
+def downsample_coords(coords, out_budget, stride=(2, 2, 2), out_grid=None):
     """Strided-conv output active set: first `out_budget` UNIQUE
-    ``floor(coords / stride)`` (zyx) sites in scan order (-1 padded).
+    ``floor(coords / stride)`` (zyx) sites in scan order (-1 padded),
+    clamped into ``out_grid`` (zyx dims) when given.
 
-    Uses sort + neighbor-difference dedup — fixed shapes throughout.
+    The clamp realizes pad-0 axes (reference conv4 z / conv_out): there
+    the output grid is ``(n-1)//2`` and the last input plane folds onto
+    the last output site (still inside its pad-0 tap window
+    ``[2o, 2o+2]``), whereas pad-1 axes never exceed their ceil-div
+    grid.  Uses sort + neighbor-difference dedup — fixed shapes
+    throughout.
     """
     valid = jnp.all(coords >= 0, axis=-1)
-    half = jnp.where(
-        valid[..., None], coords // jnp.asarray(stride, jnp.int32), -1
-    )
+    half = coords // jnp.asarray(stride, jnp.int32)
+    if out_grid is not None:
+        half = jnp.minimum(
+            half, jnp.asarray(out_grid, jnp.int32)[None, None] - 1
+        )
+    half = jnp.where(valid[..., None], half, -1)
     # order by a flat key on a virtual (2048^2 x 256) grid for dedup —
     # covers full-res KITTI (1600 x 1408 x 41) pre-halving coords
     BIG = jnp.int32(1 << 22)

@@ -617,6 +617,202 @@ def test_parta2_converter_roundtrip():
     assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
 
 
+def test_deconv3d_torch_activation_parity():
+    """_deconv3d_kernel mirror rule + the UpConv3D padding law
+    ``(k-1-p, k-1-p+op)`` vs torch ConvTranspose3d twins of the dense
+    UNetV2 ``inv_conv`` stages: a pad-1 inverse (lax (1,2)) and the
+    conv4 z-pad-0 inverse (lax (2,3)).  flax SAME would be (2,1) — one
+    voxel off; this test pins the corrected geometry."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+
+    from ckpt_converter import _deconv3d_kernel
+
+    cin, cout, D = 5, 3, 4
+    torch.manual_seed(3)
+    x = np.random.RandomState(7).randn(2, cin, D, D, D).astype(np.float32)
+    for p, op, pad in ((1, 1, (1, 2)), (0, 1, (2, 3))):
+        ref = torch.nn.ConvTranspose3d(cin, cout, 3, stride=2, padding=p,
+                                       output_padding=op, bias=False)
+        ref.eval()
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x)).numpy()
+
+        # torch ConvTranspose3d weight is (in, out, k, k, k); emit it in
+        # the spconv 1.x (k, k, k, in, out) layout the converter expects
+        w = ref.weight.detach().numpy().transpose(2, 3, 4, 0, 1)
+        kernel = _deconv3d_kernel(w, cin, cout)
+
+        class Up(nn.Module):
+            @nn.compact
+            def __call__(self, xx):
+                return nn.ConvTranspose(
+                    cout, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                    padding=(pad,) * 3, use_bias=False)(xx)
+
+        y = Up().apply(
+            {"params": {"ConvTranspose_0": {"kernel": jnp.asarray(kernel)}}},
+            jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, atol=2e-5,
+            err_msg=f"p={p} op={op}")
+
+
+def test_vector_pool_torch_activation_parity():
+    """convert_vector_pool_msg weight mapping vs a torch twin of the
+    VectorPoolAggregationModuleMSG parameterized pipeline
+    (pointnet2_stack/pointnet2_modules.py:279-293,451-470): grouped
+    Conv1d -> BN -> ReLU -> post Conv1d+BN+ReLU per group, concat + xyz,
+    msg_post Conv1d+BN+ReLU.  The data-dependent interpolation is pinned
+    by test_pvrcnn_pp.test_local_interpolate_oracle; here it is replaced
+    (monkeypatched on both sides with the same closed form) so the test
+    isolates the group-major kernel reshape and BN folding."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from ckpt_converter import TorchTree, convert_vector_pool_msg
+
+    from pdanet_tpu.models.backbones_3d.pfe import vector_pool
+
+    cfg = EasyDict({
+        "NUM_GROUPS": 2,
+        "LOCAL_AGGREGATION_TYPE": "local_interpolation",
+        "NUM_REDUCED_CHANNELS": 2,
+        "NUM_CHANNELS_OF_LOCAL_AGGREGATION": 4,
+        "MSG_POST_MLPS": [16, 8],
+        "GROUP_CFG_0": {"NUM_LOCAL_VOXEL": [2, 2, 2],
+                        "MAX_NEIGHBOR_DISTANCE": 0.6,
+                        "NEIGHBOR_NSAMPLE": -1, "POST_MLPS": [8, 8]},
+        "GROUP_CFG_1": {"NUM_LOCAL_VOXEL": [3, 1, 1],
+                        "MAX_NEIGHBOR_DISTANCE": 1.2,
+                        "NEIGHBOR_NSAMPLE": -1, "POST_MLPS": [8]},
+    })
+    red = 2
+    B, N, M = 1, 16, 6
+    rng = np.random.RandomState(5)
+    xyz = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+    feats = rng.rand(B, N, 2 * red).astype(np.float32)
+    new_xyz = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+
+    def fake_vec(support_xyz, support_features, grid_centers, max_dist):
+        # deterministic closed form of the (C + 9)-channel vec tensor
+        G = grid_centers.shape[1]
+        C = support_features.shape[-1]
+        cols = jnp.arange(C + 9, dtype=jnp.float32)
+        base = jnp.sin(grid_centers.sum(-1) * 3.1 + float(max_dist))
+        return base[..., None] * (0.1 + 0.05 * cols) + 0.02 * jnp.cos(
+            grid_centers[..., :1] * cols
+        )
+
+    # ---- torch twin ----
+    torch.manual_seed(11)
+    groups = []
+    for k in range(2):
+        g = cfg[f"GROUP_CFG_{k}"]
+        V = int(np.prod(g.NUM_LOCAL_VOXEL))
+        c_agg = cfg.NUM_CHANNELS_OF_LOCAL_AGGREGATION
+        sla = torch.nn.Sequential(
+            torch.nn.Conv1d(V * (red + 9), V * c_agg, 1, groups=V,
+                            bias=False),
+            torch.nn.BatchNorm1d(V * c_agg),
+            torch.nn.ReLU(),
+        )
+        posts = []
+        c_in = V * c_agg
+        for f in g.POST_MLPS:
+            posts += [torch.nn.Conv1d(c_in, f, 1, bias=False),
+                      torch.nn.BatchNorm1d(f), torch.nn.ReLU()]
+            c_in = f
+        groups.append((sla, torch.nn.Sequential(*posts), V, g))
+    msg_posts = []
+    c_in = sum(g.POST_MLPS[-1] for _, _, _, g in groups) + 3
+    for f in cfg.MSG_POST_MLPS:
+        msg_posts += [torch.nn.Conv1d(c_in, f, 1, bias=False),
+                      torch.nn.BatchNorm1d(f), torch.nn.ReLU()]
+        c_in = f
+    msg_post = torch.nn.Sequential(*msg_posts)
+    all_bns = [m for seq in
+               [s for s, p, _, _ in groups] + [p for s, p, _, _ in groups]
+               + [msg_post] for m in seq
+               if isinstance(m, torch.nn.BatchNorm1d)]
+    with torch.no_grad():
+        for bn in all_bns:
+            bn.running_mean.uniform_(-0.2, 0.2)
+            bn.running_var.uniform_(0.5, 2.0)
+    for seq, post, _, _ in groups:
+        seq.eval(), post.eval()
+    msg_post.eval()
+
+    outs = []
+    for (sla, post, V, g) in groups:
+        offs = vector_pool.dense_grid_offsets(
+            g.MAX_NEIGHBOR_DISTANCE, g.NUM_LOCAL_VOXEL)
+        centers = (new_xyz[:, :, None, :] + offs[None, None]).reshape(
+            B, M * V, 3)
+        vec = np.asarray(fake_vec(
+            jnp.asarray(xyz), jnp.asarray(feats[..., :red]),
+            jnp.asarray(centers),
+            g.MAX_NEIGHBOR_DISTANCE * 2.0,
+        )).reshape(B, M, V * (red + 9))
+        x = torch.from_numpy(vec.reshape(M, -1).T[None])  # (1, V*(C+9), M)
+        with torch.no_grad():
+            outs.append(post(sla(x)))
+    cat = torch.cat(outs + [torch.from_numpy(new_xyz[0].T[None])], dim=1)
+    with torch.no_grad():
+        y_ref = msg_post(cat).numpy()[0].T  # (M, C_out)
+
+    # ---- emit the reference-layout state dict ----
+    sd = {}
+    for k, (sla, post, V, g) in enumerate(groups):
+        sd[f"layer_{k}.separate_local_aggregation_layer.0.weight"] = \
+            sla[0].weight.detach().numpy()
+        bn = sla[1]
+        sd[f"layer_{k}.separate_local_aggregation_layer.1.weight"] = \
+            bn.weight.detach().numpy()
+        sd[f"layer_{k}.separate_local_aggregation_layer.1.bias"] = \
+            bn.bias.detach().numpy()
+        sd[f"layer_{k}.separate_local_aggregation_layer.1.running_mean"] = \
+            bn.running_mean.numpy()
+        sd[f"layer_{k}.separate_local_aggregation_layer.1.running_var"] = \
+            bn.running_var.numpy()
+        for j in range(len(g.POST_MLPS)):
+            sd[f"layer_{k}.post_mlps.{3 * j}.weight"] = \
+                post[3 * j].weight.detach().numpy()
+            bn = post[3 * j + 1]
+            for attr, nm in (("weight", "weight"), ("bias", "bias"),
+                             ("running_mean", "running_mean"),
+                             ("running_var", "running_var")):
+                sd[f"layer_{k}.post_mlps.{3 * j + 1}.{nm}"] = getattr(
+                    bn, attr).detach().numpy()
+    for j in range(len(cfg.MSG_POST_MLPS)):
+        sd[f"msg_post_mlps.{3 * j}.weight"] = \
+            msg_post[3 * j].weight.detach().numpy()
+        bn = msg_post[3 * j + 1]
+        for nm in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"msg_post_mlps.{3 * j + 1}.{nm}"] = getattr(
+                bn, nm).detach().numpy()
+
+    tracking = TrackingDict(sd)
+    params, stats = convert_vector_pool_msg(TorchTree(tracking), cfg)
+    assert not (set(sd) - tracking.read), sorted(set(sd) - tracking.read)[:5]
+
+    # ---- flax side with the interpolation monkeypatched ----
+    real = vector_pool.local_interpolate
+    vector_pool.local_interpolate = fake_vec
+    try:
+        mod = vector_pool.VectorPoolAggregationModuleMSG(
+            input_channels=2 * red, config=cfg)
+        y = mod.apply(
+            {"params": jax.tree.map(jnp.asarray, params),
+             "batch_stats": jax.tree.map(jnp.asarray, stats)},
+            jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(new_xyz),
+        )
+    finally:
+        vector_pool.local_interpolate = real
+    np.testing.assert_allclose(np.asarray(y)[0], y_ref, atol=2e-5)
+
+
 def test_sparse_voxel_backbone_converter_structure():
     """convert_sparse_voxel_backbone maps the full spconv key schema
     (both subm blocks per level) onto SparseVoxelBackBone8x: tree paths

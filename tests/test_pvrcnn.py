@@ -160,7 +160,8 @@ def test_multi_scale_occupancy_oracle():
     coords[:, -8:] = -1
     occ = multi_scale_occupancy(jnp.asarray(coords), GRID, (1, 2, 4, 8))
 
-    dense = np.zeros((B, nz, ny, nx), bool)
+    # stride-1 grid carries the reference's empty top z plane (+1)
+    dense = np.zeros((B, nz + 1, ny, nx), bool)
     for b in range(B):
         for v in range(V - 8):
             z, y, x = coords[b, v]
@@ -168,22 +169,19 @@ def test_multi_scale_occupancy_oracle():
     assert (np.asarray(occ[1]) == dense).all()
 
     def pool(o):
+        # torch pad-1 window (k=3, s=2): start = 2*i - 1
         B, Z, Y, X = o.shape
         oz, oy, ox = (Z + 1) // 2, (Y + 1) // 2, (X + 1) // 2
         out = np.zeros((B, oz, oy, ox), bool)
-        # SAME padding for k=3, s=2: window start = 2*i - pad_lo, with
-        # pad_lo = ((out-1)*2 + 3 - in) // 2
         for b in range(B):
             for zz in range(oz):
                 for yy in range(oy):
                     for xx in range(ox):
-                        def rng_(i, n, on):
-                            pad = max(((on - 1) * 2 + 3 - n) // 2, 0)
-                            lo = max(2 * i - pad, 0)
-                            return lo, min(2 * i - pad + 3, n)
-                        zl, zh = rng_(zz, Z, oz)
-                        yl, yh = rng_(yy, Y, oy)
-                        xl, xh = rng_(xx, X, ox)
+                        def rng_(i, n):
+                            return max(2 * i - 1, 0), min(2 * i + 2, n)
+                        zl, zh = rng_(zz, Z)
+                        yl, yh = rng_(yy, Y)
+                        xl, xh = rng_(xx, X)
                         out[b, zz, yy, xx] = o[b, zl:zh, yl:yh, xl:xh].any()
         return out
 

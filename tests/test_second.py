@@ -161,3 +161,74 @@ def test_second_dp_train_step():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_dense_conv3d_stride2_torch_alignment():
+    """Stride-2 Conv3DBNReLU vs a torch Conv3d(s=2, p=1) twin on an
+    EVEN-dim grid — the case where flax SAME splits the padding (0, 1)
+    and shifts every window by one.  Pins the torch pad-1 alignment the
+    checkpoint converter relies on."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import Conv3DBNReLU
+
+    cin, cout, D = 3, 5, 8
+    torch.manual_seed(2)
+    conv = torch.nn.Conv3d(cin, cout, 3, stride=2, padding=1, bias=False)
+    bn = torch.nn.BatchNorm3d(cout, eps=1e-3, momentum=0.01)
+    with torch.no_grad():
+        bn.running_mean.uniform_(-0.2, 0.2)
+        bn.running_var.uniform_(0.5, 2.0)
+    conv.eval(), bn.eval()
+    x = np.random.RandomState(4).randn(2, cin, D, D, D).astype(np.float32)
+    with torch.no_grad():
+        y_ref = torch.relu(bn(conv(torch.from_numpy(x)))).numpy()
+
+    mod = Conv3DBNReLU(cout, stride=(2, 2, 2))
+    variables = {
+        "params": {
+            "Conv_0": {"kernel": jnp.asarray(
+                conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0))},
+            "BatchNorm_0": {"scale": jnp.asarray(bn.weight.detach().numpy()),
+                            "bias": jnp.asarray(bn.bias.detach().numpy())},
+        },
+        "batch_stats": {
+            "BatchNorm_0": {"mean": jnp.asarray(bn.running_mean.numpy()),
+                            "var": jnp.asarray(bn.running_var.numpy())},
+        },
+    }
+    y = mod.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                  train=False)
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 4, 1, 2, 3), y_ref, atol=3e-5)
+
+
+def test_dense_backbone_reference_z_chain():
+    """At the reference's KITTI z depth (nz=40) the stage chain must be
+    41->21->11->5->2 (sparse_shape z+1, conv4 z pad 0, last_pad 0 —
+    spconv_backbone.py:75,105,110), so the height-compressed BEV carries
+    z_out * C = 2 * C channels, matching what a converted reference
+    checkpoint's 2D backbone expects."""
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import VoxelBackBone8x
+
+    grid = (16, 16, 40)  # (nx, ny, nz) — tiny xy, reference z depth
+    model = VoxelBackBone8x(
+        model_cfg={"NUM_FILTERS": [2, 2, 3, 4, 4],
+                   "NUM_OUTPUT_FEATURES": 6},
+        input_channels=4, grid_size=grid)
+    rng = np.random.RandomState(0)
+    V = 32
+    vox = rng.rand(1, V, 4).astype(np.float32)
+    coords = np.stack([rng.randint(0, 40, (1, V)),
+                       rng.randint(0, 16, (1, V)),
+                       rng.randint(0, 16, (1, V))], axis=-1).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(vox),
+                           jnp.asarray(coords))
+    bev, multi_scale = model.apply(
+        variables, jnp.asarray(vox), jnp.asarray(coords), train=False)
+    assert multi_scale["x_conv1"].shape[1] == 41
+    assert multi_scale["x_conv2"].shape[1] == 21
+    assert multi_scale["x_conv3"].shape[1] == 11
+    assert multi_scale["x_conv4"].shape[1] == 5
+    assert bev.shape == (1, 2, 2, 2 * 6)  # z_out = 2
