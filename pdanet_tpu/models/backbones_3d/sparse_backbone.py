@@ -106,8 +106,10 @@ class SparseVoxelBackBone8x(nn.Module):
         budgets = list(cfg.get("ACTIVE_BUDGETS", [V, V, V, V]))
 
         # reference stage geometry (+1 top z plane, conv4 z pad 0 —
-        # see ops/sparse_conv.stage_grids)
+        # see ops/sparse_conv.stage_grids); SPCONV_ACTIVE_SETS (default
+        # on) dilates downsample outputs to spconv's exact active sets
         grids, conv4_pad = stage_grids(self.grid_size)
+        dilate = bool(cfg.get("SPCONV_ACTIVE_SETS", True))
 
         def level_grid(g):  # zyx ordering for the key builder
             return (g[0], g[1], g[2])
@@ -131,7 +133,10 @@ class SparseVoxelBackBone8x(nn.Module):
         for lvl, (dn, sa, sb, width) in enumerate(names, start=1):
             gx, gy, gz = grids[lvl]
             out_coords = downsample_coords(
-                coords, int(budgets[lvl]), out_grid=(gz, gy, gx))
+                coords, int(budgets[lvl]), out_grid=(gz, gy, gx),
+                dilate=dilate,
+                padding=(conv4_pad or (1, 1, 1)) if lvl == 3 else (1, 1, 1),
+            )
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             dtab = build_neighbor_table(
                 coords, level_grid(grids[lvl - 1]),
@@ -161,7 +166,8 @@ class SparseVoxelBackBone8x(nn.Module):
         Zo = max((Z4 - 1) // 2 if zo_ref else (Z4 + 1) // 2, 1)
         out_coords = downsample_coords(
             coords, int(budgets[3]), stride=(2, 1, 1),
-            out_grid=(Zo, Y4, X4),
+            out_grid=(Zo, Y4, X4), dilate=dilate, kernel=(3, 1, 1),
+            padding=(0, 0, 0) if zo_ref else (1, 0, 0),
         )
         out_valid = jnp.all(out_coords >= 0, axis=-1)
         otab = build_neighbor_table(

@@ -110,8 +110,10 @@ class SparseUNetV2(nn.Module):
         budgets = list(cfg.get("ACTIVE_BUDGETS", [V, V, V, V]))
 
         # reference stage geometry (+1 top z plane, conv4 z pad 0 as in
-        # spconv_unet.py:92 — see ops/sparse_conv.stage_grids)
+        # spconv_unet.py:92 — see ops/sparse_conv.stage_grids);
+        # SPCONV_ACTIVE_SETS dilates downsample outputs to spconv's sets
         grids, conv4_pad = stage_grids(self.grid_size)
+        dilate = bool(cfg.get("SPCONV_ACTIVE_SETS", True))
 
         coords = voxel_coords
         valid = jnp.all(coords >= 0, axis=-1)
@@ -133,7 +135,10 @@ class SparseUNetV2(nn.Module):
         for lvl, (dn, sa, sb, width) in enumerate(names, start=1):
             gx, gy, gz = grids[lvl]
             out_coords = downsample_coords(
-                coords, int(budgets[lvl]), out_grid=(gz, gy, gx))
+                coords, int(budgets[lvl]), out_grid=(gz, gy, gx),
+                dilate=dilate,
+                padding=(conv4_pad or (1, 1, 1)) if lvl == 3 else (1, 1, 1),
+            )
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             dtab = build_neighbor_table(
                 coords, grids[lvl - 1], query_coords=out_coords,
@@ -162,7 +167,8 @@ class SparseUNetV2(nn.Module):
             Zo = max((Z4 - 1) // 2 if zo_ref else (Z4 + 1) // 2, 1)
             out_coords = downsample_coords(
                 coords, int(budgets[3]), stride=(2, 1, 1),
-                out_grid=(Zo, Y4, X4))
+                out_grid=(Zo, Y4, X4), dilate=dilate, kernel=(3, 1, 1),
+                padding=(0, 0, 0) if zo_ref else (1, 0, 0))
             out_valid = jnp.all(out_coords >= 0, axis=-1)
             otab = build_neighbor_table(
                 coords, grids[3], query_coords=out_coords,

@@ -124,18 +124,22 @@ class VoxelBackBone8x(nn.Module):
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
         x = Conv3DBNReLU(widths[0], name="conv_input", bn_momentum=bn_m)(x, train)
         x1 = Conv3DBNReLU(widths[1], name="conv1", bn_momentum=bn_m)(x, train)
+        # each level: down conv + BOTH subm blocks (spconv_backbone.py:84-98)
         x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(
             x1, train)
-        x2 = Conv3DBNReLU(widths[2], name="conv2", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[2], name="conv2_a", bn_momentum=bn_m)(x, train)
+        x2 = Conv3DBNReLU(widths[2], name="conv2_b", bn_momentum=bn_m)(x, train)
         x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(
             x2, train)
-        x3 = Conv3DBNReLU(widths[3], name="conv3", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[3], name="conv3_a", bn_momentum=bn_m)(x, train)
+        x3 = Conv3DBNReLU(widths[3], name="conv3_b", bn_momentum=bn_m)(x, train)
         # conv4: reference z padding 0 (spconv_backbone.py:105)
         x = Conv3DBNReLU(
             widths[4], stride=(2, 2, 2),
             padding=(down_z_pad(x3.shape[1]), (1, 1), (1, 1)),
             name="conv4_down", bn_momentum=bn_m)(x3, train)
-        x4 = Conv3DBNReLU(widths[4], name="conv4", bn_momentum=bn_m)(x, train)
+        x = Conv3DBNReLU(widths[4], name="conv4_a", bn_momentum=bn_m)(x, train)
+        x4 = Conv3DBNReLU(widths[4], name="conv4_b", bn_momentum=bn_m)(x, train)
         # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv with
         # last_pad=0 (ref :100-115)
         x = Conv3DBNReLU(

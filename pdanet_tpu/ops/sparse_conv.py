@@ -16,10 +16,13 @@ Design (fixed budgets, no host rulebooks):
   features (B, V, 27, C) reshape to (B, V, 27*C) and multiply a
   (27*C, C_out) kernel — exactly the "gather-matmul" formulation.
 * Submanifold convs preserve the active set (spconv SubMConv3d).
-  Strided convs emit the stride lattice sites that CONTAIN an input
-  (MinkowskiEngine semantics; spconv's SparseConv3d additionally
-  dilates by the kernel — a documented divergence that only changes
-  far-border occupancy) with a static per-level budget.
+  Strided convs emit, by default, EVERY output site whose tap window
+  contains an active input — spconv SparseConv3d's exact output sets
+  (``downsample_coords(dilate=True)``) — under a static per-level
+  budget (overflow truncates in scan order; raise ACTIVE_BUDGETS in
+  the config for dense scenes).  The cheaper containment policy
+  (center-tap site only, a subset) remains available
+  (``SPCONV_ACTIVE_SETS: False`` / ``dilate=False``).
 * BatchNorm over sparse rows is masked: padding rows contribute to
   neither the statistics nor the running averages.
 """
@@ -208,26 +211,63 @@ def build_inverse_neighbor_table(coords, grid_size, query_coords,
     return jnp.where(keep, slots, -1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("out_budget", "stride", "out_grid"))
-def downsample_coords(coords, out_budget, stride=(2, 2, 2), out_grid=None):
-    """Strided-conv output active set: first `out_budget` UNIQUE
-    ``floor(coords / stride)`` (zyx) sites in scan order (-1 padded),
-    clamped into ``out_grid`` (zyx dims) when given.
+@partial(jax.jit, static_argnames=("out_budget", "stride", "out_grid",
+                                   "dilate", "kernel", "padding"))
+def downsample_coords(coords, out_budget, stride=(2, 2, 2), out_grid=None,
+                      dilate=False, kernel=(3, 3, 3), padding=None):
+    """Strided-conv output active set (-1 padded, first `out_budget`
+    unique sites in scan order).
 
-    The clamp realizes pad-0 axes (reference conv4 z / conv_out): there
-    the output grid is ``(n-1)//2`` and the last input plane folds onto
-    the last output site (still inside its pad-0 tap window
-    ``[2o, 2o+2]``), whereas pad-1 axes never exceed their ceil-div
-    grid.  Uses sort + neighbor-difference dedup — fixed shapes
-    throughout.
+    Two policies:
+
+    * ``dilate=False`` (containment): sites ``floor(coords / stride)``
+      only — the center-tap site per input.  Clamped into ``out_grid``
+      (zyx dims) when given: on pad-0 axes (reference conv4 z /
+      conv_out) the output grid is ``(n-1)//2`` and the last input
+      plane folds onto the last output site (still inside its pad-0 tap
+      window ``[2o, 2o+2]``).
+    * ``dilate=True`` (spconv SparseConv3d semantics): EVERY output
+      site whose tap window ``[o*s - p, o*s - p + k - 1]`` contains an
+      active input — per axis that is ``(i + p) // s`` and the site
+      below it, masked by the window test and the ``out_grid`` bound.
+      This reproduces the reference's output active sets exactly (up to
+      the budget cap), where containment is a subset.
+
+    Uses sort + neighbor-difference dedup — fixed shapes throughout.
     """
     valid = jnp.all(coords >= 0, axis=-1)
-    half = coords // jnp.asarray(stride, jnp.int32)
-    if out_grid is not None:
-        half = jnp.minimum(
-            half, jnp.asarray(out_grid, jnp.int32)[None, None] - 1
+    st = jnp.asarray(stride, jnp.int32)
+    if dilate:
+        if padding is None:
+            padding = tuple(int(k) // 2 for k in kernel)
+        p = jnp.asarray([int(x) for x in padding], jnp.int32)
+        kk = jnp.asarray([int(x) for x in kernel], jnp.int32)
+        hi = (coords + p) // st  # (B, V, 3) upper candidate per axis
+        # 8 combos: choose hi or hi-1 per axis
+        combo = jnp.asarray(
+            [[(c >> a) & 1 for a in range(3)] for c in range(8)],
+            jnp.int32,
+        )  # (8, 3) in {0, 1}; 1 -> hi, 0 -> hi - 1
+        cand = hi[:, :, None, :] - (1 - combo)[None, None]  # (B,V,8,3)
+        start = cand * st - p
+        in_win = (start <= coords[:, :, None, :]) & (
+            coords[:, :, None, :] <= start + kk - 1
         )
-    half = jnp.where(valid[..., None], half, -1)
+        ok = jnp.all(in_win & (cand >= 0), axis=-1)
+        if out_grid is not None:
+            og = jnp.asarray(out_grid, jnp.int32)
+            ok &= jnp.all(cand < og[None, None, None], axis=-1)
+        ok &= valid[:, :, None]
+        B, V = coords.shape[:2]
+        half = jnp.where(ok[..., None], cand, -1).reshape(B, V * 8, 3)
+        valid = ok.reshape(B, V * 8)
+    else:
+        half = coords // st
+        if out_grid is not None:
+            half = jnp.minimum(
+                half, jnp.asarray(out_grid, jnp.int32)[None, None] - 1
+            )
+        half = jnp.where(valid[..., None], half, -1)
     # order by a flat key on a virtual (2048^2 x 256) grid for dedup —
     # covers full-res KITTI (1600 x 1408 x 41) pre-halving coords
     BIG = jnp.int32(1 << 22)

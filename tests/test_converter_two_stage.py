@@ -42,8 +42,8 @@ def _emit_fc_bn_stack(sd, prefix, params, stats, n, drop_after,
 
 
 def _emit_dense_voxel_backbone(sd, prefix, params, stats, layer_nums=None):
-    """Inverse of convert_voxel_backbone_dense (the conv{L}.2 blocks the
-    dense analogue drops are simply not emitted)."""
+    """Inverse of convert_voxel_backbone_dense (complete: down + both
+    subm blocks per level)."""
 
     def seq(name, torch_prefix):
         sd[f"{torch_prefix}.0.weight"] = np.asarray(
@@ -58,7 +58,8 @@ def _emit_dense_voxel_backbone(sd, prefix, params, stats, layer_nums=None):
     seq("conv1", f"{prefix}.conv1.0")
     for lvl in (2, 3, 4):
         seq(f"conv{lvl}_down", f"{prefix}.conv{lvl}.0")
-        seq(f"conv{lvl}", f"{prefix}.conv{lvl}.1")
+        seq(f"conv{lvl}_a", f"{prefix}.conv{lvl}.1")
+        seq(f"conv{lvl}_b", f"{prefix}.conv{lvl}.2")
     seq("conv_out", f"{prefix}.conv_out")
 
 

@@ -305,3 +305,59 @@ def test_pvrcnn_with_sparse_backbone():
     )(variables, voxels, coords, nums, points)
     assert out["point_features"].shape == (1, 32, 32)
     assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+
+def test_dilated_downsample_matches_spconv_active_sets():
+    """downsample_coords(dilate=True) must list EXACTLY the sites whose
+    pad-1 tap window [2o-1, 2o+1] contains an active input (spconv
+    SparseConv3d output semantics), and the strided gather-matmul over
+    them must match the dense conv at every listed site."""
+    rng = np.random.RandomState(3)
+    coords = _active(rng)
+    B, V = coords.shape[:2]
+    C_in, C_out = 4, 6
+    feats = rng.randn(B, V, C_in).astype(np.float32)
+    feats[coords[..., 0] < 0] = 0
+    w = rng.randn(27, C_in, C_out).astype(np.float32) * 0.1
+
+    nx, ny, nz = GRID
+    og = ((nz + 1) // 2, (ny + 1) // 2, (nx + 1) // 2)  # zyx
+    out_coords = np.asarray(downsample_coords(
+        jnp.asarray(coords), 8 * V, out_grid=og, dilate=True))
+    tab = build_neighbor_table(
+        jnp.asarray(coords), GRID, query_coords=jnp.asarray(out_coords),
+        stride=(2, 2, 2),
+    )
+    got = np.asarray(gather_matmul_conv(
+        jnp.asarray(feats), tab, jnp.asarray(w)
+    ))
+
+    dense = _dense_from_sparse(coords, feats)
+    wd = w.reshape(3, 3, 3, C_in, C_out)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(dense), jnp.asarray(wd),
+        window_strides=(2, 2, 2), padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ))
+
+    for b in range(B):
+        want = set()
+        for z, y, x in coords[b]:
+            if z < 0:
+                continue
+            for oz in ((z - 1) // 2, (z + 1) // 2):
+                for oy in ((y - 1) // 2, (y + 1) // 2):
+                    for ox in ((x - 1) // 2, (x + 1) // 2):
+                        if (0 <= oz < og[0] and 0 <= oy < og[1]
+                                and 0 <= ox < og[2]
+                                and abs(z - 2 * oz) <= 1
+                                and abs(y - 2 * oy) <= 1
+                                and abs(x - 2 * ox) <= 1):
+                            want.add((oz, oy, ox))
+        listed = {tuple(c) for c in out_coords[b] if c[0] >= 0}
+        assert listed == want, (len(listed), len(want))
+        for v in range(out_coords.shape[1]):
+            z, y, x = out_coords[b, v]
+            if z >= 0:
+                np.testing.assert_allclose(
+                    got[b, v], ref[b, z, y, x], rtol=1e-4, atol=1e-4)

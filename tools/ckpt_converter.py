@@ -305,14 +305,9 @@ def _conv3d_kernel(w, cin, cout):
 
 def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
     """Reference VoxelBackBone8x (spconv_backbone.py:70-120) onto the
-    DENSE flax analogue ``voxel_backbone.VoxelBackBone8x``.
-
-    Structure note: the reference runs down + 2 subm blocks per level
-    (conv2/3/4); the dense analogue runs down + 1 subm, so the SECOND
-    subm block of each level (conv{L}.2.*) has no dense target and is
-    dropped — dense conversion is approximate by design (the
-    semantics-matching target is SparseVoxelBackBone8x).  conv{L}.1 maps
-    onto the analogue's subm block."""
+    DENSE flax analogue ``voxel_backbone.VoxelBackBone8x`` — a COMPLETE
+    mapping: each level's down conv (conv{L}.0) plus BOTH subm blocks
+    (conv{L}.1 -> conv{L}_a, conv{L}.2 -> conv{L}_b)."""
     conv3d_kernel = _conv3d_kernel
 
     params, stats = {}, {}
@@ -338,7 +333,9 @@ def convert_voxel_backbone_dense(tree, widths, c_out, input_channels=4):
     for lvl, cin, cout in pairs:
         seq(tree.sub(f"{lvl}.0.0"), tree.sub(f"{lvl}.0.1"), f"{lvl}_down",
             cin, cout)
-        seq(tree.sub(f"{lvl}.1.0"), tree.sub(f"{lvl}.1.1"), lvl,
+        seq(tree.sub(f"{lvl}.1.0"), tree.sub(f"{lvl}.1.1"), f"{lvl}_a",
+            cout, cout)
+        seq(tree.sub(f"{lvl}.2.0"), tree.sub(f"{lvl}.2.1"), f"{lvl}_b",
             cout, cout)
     seq(tree.sub("conv_out.0"), tree.sub("conv_out.1"), "conv_out",
         widths[4], c_out)
