@@ -26,6 +26,7 @@ reference's ``padding=(0, 1, 1)`` (:105) and conv_out its ``last_pad=0``
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...utils.easydict import EasyDict
@@ -66,6 +67,84 @@ def down_z_pad(z):
     return (0, 0) if int(z) >= 3 else (1, 1)
 
 
+def occupancy_levels(occ0):
+    """Active-site masks for the 4 stages + conv_out from the stride-1
+    occupancy (B, Z0, Y0, X0).
+
+    spconv semantics: a downsample output site is active iff its tap
+    window contains an active input — a k3/s2 max-pool with the stage's
+    padding (z rules mirror ``down_z_pad``: conv4 z pad 0, last_pad 0).
+    These masks make the dense ladder SUBMANIFOLD-EXACT: zeroing
+    inactive cells after every block removes the ``relu(BN(0))`` ghost
+    activations a plain dense conv would inject into active sites'
+    neighborhoods, so dense values match spconv's at active sites."""
+    occs = [occ0]
+    cur = occ0.astype(jnp.float32)
+    for lvl in (1, 2, 3):
+        zp = (1, 1) if lvl < 3 else down_z_pad(cur.shape[1])
+        cur = jax.lax.reduce_window(
+            cur, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 3, 3, 3), window_strides=(1, 2, 2, 2),
+            padding=((0, 0), zp, (1, 1), (1, 1)))
+        occs.append(cur > 0)
+    out = jax.lax.reduce_window(
+        cur, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 1, 1), window_strides=(1, 2, 1, 1),
+        padding=((0, 0), down_z_pad(cur.shape[1]), (0, 0), (0, 0)))
+    occs.append(out > 0)
+    return occs
+
+
+def grid_occupancies(x, voxel_coords, model_cfg):
+    """Stage occupancies for submanifold masking (config key
+    ``SUBMANIFOLD_MASKING``, default on); ``[None] * 5`` when disabled.
+    The stride-1 set comes from the voxel coords, or — on the
+    dynamic-VFE pre-scattered path — from nonzero cells of the grid."""
+    if not bool(EasyDict(model_cfg or {}).get("SUBMANIFOLD_MASKING", True)):
+        return [None] * 5
+    if voxel_coords is None:
+        occ0 = jnp.any(x != 0, axis=-1)
+    else:
+        B, Z, Y, X, _ = x.shape
+        ones = jnp.ones(voxel_coords.shape[:2] + (1,), jnp.float32)
+        occ0 = scatter_to_dense(
+            ones, voxel_coords, (X, Y, Z - 1))[..., 0] > 0
+    return occupancy_levels(occ0)
+
+
+class DenseMaskedBatchNorm(nn.Module):
+    """BatchNorm over ACTIVE grid cells only (spconv's BatchNorm1d runs
+    on the active-site list), zeroing inactive cells.  Parameter/stat
+    leaf names match ``nn.BatchNorm`` (scale/bias + mean/var), so the
+    checkpoint converter's tree layout is unchanged."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, occ, train=False):
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if train:
+            w = occ.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=(0, 1, 2, 3)) / n
+            var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1, 2, 3)) / n
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(occ[..., None], y, 0.0)
+
+
 class Conv3DBNReLU(nn.Module):
     features: int
     kernel: Any = (3, 3, 3)
@@ -81,7 +160,7 @@ class Conv3DBNReLU(nn.Module):
     bn_momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, occ=None):
         pad = self.padding
         if pad is None:
             pad = tuple((int(k) // 2, int(k) // 2) for k in self.kernel)
@@ -89,10 +168,15 @@ class Conv3DBNReLU(nn.Module):
             self.features, kernel_size=tuple(self.kernel),
             strides=tuple(self.stride), padding=pad, use_bias=False,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum,
-            epsilon=1e-3,
-        )(x)
+        if occ is None:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum,
+                epsilon=1e-3, name="BatchNorm_0",
+            )(x)
+        else:
+            x = DenseMaskedBatchNorm(
+                momentum=self.bn_momentum, name="BatchNorm_0",
+            )(x, occ, train)
         return nn.relu(x)
 
 
@@ -122,31 +206,34 @@ class VoxelBackBone8x(nn.Module):
             x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
-        x = Conv3DBNReLU(widths[0], name="conv_input", bn_momentum=bn_m)(x, train)
-        x1 = Conv3DBNReLU(widths[1], name="conv1", bn_momentum=bn_m)(x, train)
+        occs = grid_occupancies(x, voxel_coords, self.model_cfg)
+        x = Conv3DBNReLU(widths[0], name="conv_input", bn_momentum=bn_m)(
+            x, train, occs[0])
+        x1 = Conv3DBNReLU(widths[1], name="conv1", bn_momentum=bn_m)(
+            x, train, occs[0])
         # each level: down conv + BOTH subm blocks (spconv_backbone.py:84-98)
         x = Conv3DBNReLU(widths[2], stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(
-            x1, train)
-        x = Conv3DBNReLU(widths[2], name="conv2_a", bn_momentum=bn_m)(x, train)
-        x2 = Conv3DBNReLU(widths[2], name="conv2_b", bn_momentum=bn_m)(x, train)
+            x1, train, occs[1])
+        x = Conv3DBNReLU(widths[2], name="conv2_a", bn_momentum=bn_m)(x, train, occs[1])
+        x2 = Conv3DBNReLU(widths[2], name="conv2_b", bn_momentum=bn_m)(x, train, occs[1])
         x = Conv3DBNReLU(widths[3], stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(
-            x2, train)
-        x = Conv3DBNReLU(widths[3], name="conv3_a", bn_momentum=bn_m)(x, train)
-        x3 = Conv3DBNReLU(widths[3], name="conv3_b", bn_momentum=bn_m)(x, train)
+            x2, train, occs[2])
+        x = Conv3DBNReLU(widths[3], name="conv3_a", bn_momentum=bn_m)(x, train, occs[2])
+        x3 = Conv3DBNReLU(widths[3], name="conv3_b", bn_momentum=bn_m)(x, train, occs[2])
         # conv4: reference z padding 0 (spconv_backbone.py:105)
         x = Conv3DBNReLU(
             widths[4], stride=(2, 2, 2),
             padding=(down_z_pad(x3.shape[1]), (1, 1), (1, 1)),
-            name="conv4_down", bn_momentum=bn_m)(x3, train)
-        x = Conv3DBNReLU(widths[4], name="conv4_a", bn_momentum=bn_m)(x, train)
-        x4 = Conv3DBNReLU(widths[4], name="conv4_b", bn_momentum=bn_m)(x, train)
+            name="conv4_down", bn_momentum=bn_m)(x3, train, occs[3])
+        x = Conv3DBNReLU(widths[4], name="conv4_a", bn_momentum=bn_m)(x, train, occs[3])
+        x4 = Conv3DBNReLU(widths[4], name="conv4_b", bn_momentum=bn_m)(x, train, occs[3])
         # conv_out: z-compressing (2,1,1)-stride (3,1,1) conv with
         # last_pad=0 (ref :100-115)
         x = Conv3DBNReLU(
             c_out, kernel=(3, 1, 1), stride=(2, 1, 1),
             padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
             name="conv_out",
-        )(x, train)
+        )(x4, train, occs[4])
         # height compression: (B, Z', Y', X', C) -> (B, Y', X', Z'*C)
         B, Z, Y, X, C = x.shape
         bev = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
@@ -167,18 +254,21 @@ class ResBlock3D(nn.Module):
     bn_momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, occ=None):
+        def bn(name, h):
+            if occ is None:
+                return nn.BatchNorm(use_running_average=not train,
+                                    momentum=self.bn_momentum,
+                                    epsilon=1e-3, name=name)(h)
+            return DenseMaskedBatchNorm(
+                momentum=self.bn_momentum, name=name)(h, occ, train)
+
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                     use_bias=False, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum,
-                         epsilon=1e-3, name="bn1")(h)
-        h = nn.relu(h)
+        h = nn.relu(bn("bn1", h))
         h = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                     use_bias=False, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum,
-                         epsilon=1e-3, name="bn2")(h)
+        h = bn("bn2", h)
         return nn.relu(x + h)
 
 
@@ -204,25 +294,34 @@ class VoxelResBackBone8x(nn.Module):
             x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
-        x = Conv3DBNReLU(16, name="conv_input", bn_momentum=bn_m)(x, train)
+        occs = grid_occupancies(x, voxel_coords, self.model_cfg)
+        x = Conv3DBNReLU(16, name="conv_input", bn_momentum=bn_m)(
+            x, train, occs[0])
         x1 = ResBlock3D(16, name="res1_b", bn_momentum=bn_m)(
-            ResBlock3D(16, name="res1_a", bn_momentum=bn_m)(x, train), train)
-        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(x1, train)
+            ResBlock3D(16, name="res1_a", bn_momentum=bn_m)(
+                x, train, occs[0]), train, occs[0])
+        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down", bn_momentum=bn_m)(
+            x1, train, occs[1])
         x2 = ResBlock3D(32, name="res2_b", bn_momentum=bn_m)(
-            ResBlock3D(32, name="res2_a", bn_momentum=bn_m)(x, train), train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(x2, train)
+            ResBlock3D(32, name="res2_a", bn_momentum=bn_m)(
+                x, train, occs[1]), train, occs[1])
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down", bn_momentum=bn_m)(
+            x2, train, occs[2])
         x3 = ResBlock3D(64, name="res3_b", bn_momentum=bn_m)(
-            ResBlock3D(64, name="res3_a", bn_momentum=bn_m)(x, train), train)
+            ResBlock3D(64, name="res3_a", bn_momentum=bn_m)(
+                x, train, occs[2]), train, occs[2])
         # conv4 z pad 0 (spconv_backbone.py:219 padding=(0, 1, 1))
         x = Conv3DBNReLU(
             128, stride=(2, 2, 2),
             padding=(down_z_pad(x3.shape[1]), (1, 1), (1, 1)),
-            name="conv4_down", bn_momentum=bn_m)(x3, train)
+            name="conv4_down", bn_momentum=bn_m)(x3, train, occs[3])
         x4 = ResBlock3D(128, name="res4_b", bn_momentum=bn_m)(
-            ResBlock3D(128, name="res4_a", bn_momentum=bn_m)(x, train), train)
+            ResBlock3D(128, name="res4_a", bn_momentum=bn_m)(
+                x, train, occs[3]), train, occs[3])
         out = Conv3DBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
-                           name="conv_out", bn_momentum=bn_m)(x4, train)
+                           name="conv_out", bn_momentum=bn_m)(
+            x4, train, occs[4])
         B, Z, Y, X, C = out.shape
         bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
         multi_scale = {

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 
 from .voxel_backbone import (
     Conv3DBNReLU,
+    DenseMaskedBatchNorm,
     ResBlock3D,
     down_z_pad,
+    grid_occupancies,
     pad_top_z,
     scatter_to_dense,
 )
@@ -71,15 +73,21 @@ class UpConv3D(nn.Module):
     padding: Any = ((1, 2), (1, 2), (1, 2))
 
     @nn.compact
-    def __call__(self, x, target_shape, train=False):
+    def __call__(self, x, target_shape, train=False, occ=None):
         x = nn.ConvTranspose(
             self.features, kernel_size=(3, 3, 3), strides=(2, 2, 2),
             padding=tuple(self.padding), use_bias=False,
         )(x)
         x = x[:, : target_shape[0], : target_shape[1], : target_shape[2], :]
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-        )(x)
+        if occ is None:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99,
+                epsilon=1e-3, name="BatchNorm_0",
+            )(x)
+        else:
+            # SparseInverseConv outputs exactly the fine active set
+            x = DenseMaskedBatchNorm(
+                momentum=0.99, name="BatchNorm_0")(x, occ, train)
         return nn.relu(x)
 
 
@@ -91,11 +99,11 @@ class URBlock(nn.Module):
     c_mid: int
 
     @nn.compact
-    def __call__(self, lateral, bottom, train=False):
+    def __call__(self, lateral, bottom, train=False, occ=None):
         x_trans = ResBlock3D(lateral.shape[-1], name="conv_up_t")(
-            lateral, train)
+            lateral, train, occ)
         x = jnp.concatenate([bottom, x_trans], axis=-1)
-        x_m = Conv3DBNReLU(self.c_mid, name="conv_up_m")(x, train)
+        x_m = Conv3DBNReLU(self.c_mid, name="conv_up_m")(x, train, occ)
         return x_m + channel_reduction(x, self.c_mid)
 
 
@@ -115,21 +123,24 @@ class UNetV2(nn.Module):
             x = pad_top_z(voxel_features)
         else:
             x = scatter_to_dense(voxel_features, voxel_coords, self.grid_size)
-        x = Conv3DBNReLU(16, name="conv_input")(x, train)
-        x1 = Conv3DBNReLU(16, name="conv1")(x, train)
-        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(x1, train)
-        x = Conv3DBNReLU(32, name="conv2_a")(x, train)
-        x2 = Conv3DBNReLU(32, name="conv2_b")(x, train)
-        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(x2, train)
-        x = Conv3DBNReLU(64, name="conv3_a")(x, train)
-        x3 = Conv3DBNReLU(64, name="conv3_b")(x, train)
+        occs = grid_occupancies(x, voxel_coords, self.model_cfg)
+        x = Conv3DBNReLU(16, name="conv_input")(x, train, occs[0])
+        x1 = Conv3DBNReLU(16, name="conv1")(x, train, occs[0])
+        x = Conv3DBNReLU(32, stride=(2, 2, 2), name="conv2_down")(
+            x1, train, occs[1])
+        x = Conv3DBNReLU(32, name="conv2_a")(x, train, occs[1])
+        x2 = Conv3DBNReLU(32, name="conv2_b")(x, train, occs[1])
+        x = Conv3DBNReLU(64, stride=(2, 2, 2), name="conv3_down")(
+            x2, train, occs[2])
+        x = Conv3DBNReLU(64, name="conv3_a")(x, train, occs[2])
+        x3 = Conv3DBNReLU(64, name="conv3_b")(x, train, occs[2])
         # conv4 z pad 0 (spconv_unet.py:92 padding=(0, 1, 1))
         z4_pad = down_z_pad(x3.shape[1])
         x = Conv3DBNReLU(
             64, stride=(2, 2, 2), padding=(z4_pad, (1, 1), (1, 1)),
-            name="conv4_down")(x3, train)
-        x = Conv3DBNReLU(64, name="conv4_a")(x, train)
-        x4 = Conv3DBNReLU(64, name="conv4_b")(x, train)
+            name="conv4_down")(x3, train, occs[3])
+        x = Conv3DBNReLU(64, name="conv4_a")(x, train, occs[3])
+        x4 = Conv3DBNReLU(64, name="conv4_b")(x, train, occs[3])
 
         # encoder output for the detection head (spconv_unet.py:97-106);
         # RETURN_ENCODED_TENSOR: False (PartA2-free) skips it entirely
@@ -138,7 +149,7 @@ class UNetV2(nn.Module):
                 128, kernel=(3, 1, 1), stride=(2, 1, 1),
                 padding=(down_z_pad(x4.shape[1]), (0, 0), (0, 0)),
                 name="conv_out",
-            )(x4, train)
+            )(x4, train, occs[4])
             B, Z, Y, X, C = out.shape
             bev = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(
                 B, Y, X, Z * C)
@@ -146,17 +157,18 @@ class UNetV2(nn.Module):
             bev = None
 
         # decoder (spconv_unet.py:195-203); inv_conv4 inverts the
-        # z-pad-0 downsample
+        # z-pad-0 downsample.  Decoder active sets are the encoder's
+        # per-level sets (inverse convs output the pre-downsample set).
         z4_inv = (2, 3) if z4_pad == (0, 0) else (1, 2)
-        u = URBlock(64, name="ur4")(x4, x4, train)
+        u = URBlock(64, name="ur4")(x4, x4, train, occs[3])
         u = UpConv3D(64, padding=(z4_inv, (1, 2), (1, 2)),
-                     name="inv_conv4")(u, x3.shape[1:4], train)
-        u = URBlock(64, name="ur3")(x3, u, train)
-        u = UpConv3D(32, name="inv_conv3")(u, x2.shape[1:4], train)
-        u = URBlock(32, name="ur2")(x2, u, train)
-        u = UpConv3D(16, name="inv_conv2")(u, x1.shape[1:4], train)
-        u = URBlock(16, name="ur1")(x1, u, train)
-        x_up1 = Conv3DBNReLU(16, name="conv5")(u, train)
+                     name="inv_conv4")(u, x3.shape[1:4], train, occs[2])
+        u = URBlock(64, name="ur3")(x3, u, train, occs[2])
+        u = UpConv3D(32, name="inv_conv3")(u, x2.shape[1:4], train, occs[1])
+        u = URBlock(32, name="ur2")(x2, u, train, occs[1])
+        u = UpConv3D(16, name="inv_conv2")(u, x1.shape[1:4], train, occs[0])
+        u = URBlock(16, name="ur1")(x1, u, train, occs[0])
+        x_up1 = Conv3DBNReLU(16, name="conv5")(u, train, occs[0])
 
         point_features = gather_from_dense(x_up1, voxel_coords)
         aux = {

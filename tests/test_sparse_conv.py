@@ -361,3 +361,108 @@ def test_dilated_downsample_matches_spconv_active_sets():
             if z >= 0:
                 np.testing.assert_allclose(
                     got[b, v], ref[b, z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_dense_masked_matches_sparse_backbone():
+    """The submanifold-masked dense VoxelBackBone8x and the gather-matmul
+    SparseVoxelBackBone8x are INDEPENDENT implementations of the same
+    spconv semantics — with identical weights and running stats they
+    must agree: BEV maps equal everywhere, stage features equal at every
+    active site.  This is the strongest internal consistency check for
+    the reference-exact geometry + masking work."""
+    from pdanet_tpu.models.backbones_3d.sparse_backbone import (
+        SparseVoxelBackBone8x,
+    )
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import VoxelBackBone8x
+
+    rng = np.random.RandomState(7)
+    nx, ny, nz = 16, 16, 24  # z deep enough for the pad-0 reference path
+    B, V = 2, 48
+    widths = [3, 3, 4, 6, 6]
+    c_out = 8
+    # unique cells per frame (duplicate coords are voxelizer-impossible
+    # and make dense scatter vs sparse gather pick different rows)
+    cells = np.stack([
+        rng.choice(nz * ny * nx, V, replace=False) for _ in range(B)
+    ])
+    coords = np.stack([cells // (ny * nx), (cells // nx) % ny,
+                       cells % nx], -1).astype(np.int32)
+    coords[:, -8:] = -1
+    feats = rng.randn(B, V, 4).astype(np.float32)
+    feats[coords[..., 0] < 0] = 0
+
+    dense = VoxelBackBone8x(
+        model_cfg={"NUM_FILTERS": widths, "NUM_OUTPUT_FEATURES": c_out},
+        input_channels=4, grid_size=(nx, ny, nz))
+    dvars = dense.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                       jnp.asarray(coords))
+    dvars = jax.tree.map(np.asarray, dict(dvars))
+    # randomize running stats so BN folding is non-trivial
+    for name, st in dvars["batch_stats"].items():
+        st["BatchNorm_0"]["mean"] = rng.uniform(
+            -0.2, 0.2, st["BatchNorm_0"]["mean"].shape).astype(np.float32)
+        st["BatchNorm_0"]["var"] = rng.uniform(
+            0.5, 2.0, st["BatchNorm_0"]["var"].shape).astype(np.float32)
+
+    sparse = SparseVoxelBackBone8x(
+        model_cfg={"NUM_FILTERS": widths, "NUM_OUTPUT_FEATURES": c_out,
+                   "ACTIVE_BUDGETS": [8 * V] * 4},
+        input_channels=4, grid_size=(nx, ny, nz))
+    svars = sparse.init(jax.random.PRNGKey(1), jnp.asarray(feats),
+                        jnp.asarray(coords))
+    svars = jax.tree.map(np.asarray, dict(svars))
+
+    # copy dense weights/stats into the sparse layout
+    sp, ss = svars["params"], svars["batch_stats"]
+    names = (["conv_input", "conv1"]
+             + [f"conv{l}{suf}" for l in (2, 3, 4)
+                for suf in ("_a", "_b")])
+    for name in names:
+        k = dvars["params"][name]["Conv_0"]["kernel"]
+        sp[name]["kernel"] = np.ascontiguousarray(
+            k.reshape(-1, k.shape[-2], k.shape[-1]))
+        sp[name]["bn"]["scale"] = dvars["params"][name]["BatchNorm_0"]["scale"]
+        sp[name]["bn"]["bias"] = dvars["params"][name]["BatchNorm_0"]["bias"]
+        ss[name]["bn"]["mean"] = dvars["batch_stats"][name]["BatchNorm_0"]["mean"]
+        ss[name]["bn"]["var"] = dvars["batch_stats"][name]["BatchNorm_0"]["var"]
+    for l in (2, 3, 4):
+        k = dvars["params"][f"conv{l}_down"]["Conv_0"]["kernel"]
+        sp[f"conv{l}_down_kernel"] = np.ascontiguousarray(
+            k.reshape(-1, k.shape[-2], k.shape[-1]))
+        dbn = dvars["params"][f"conv{l}_down"]["BatchNorm_0"]
+        dst = dvars["batch_stats"][f"conv{l}_down"]["BatchNorm_0"]
+        sp[f"conv{l}_down_bn"]["scale"] = dbn["scale"]
+        sp[f"conv{l}_down_bn"]["bias"] = dbn["bias"]
+        ss[f"conv{l}_down_bn"]["mean"] = dst["mean"]
+        ss[f"conv{l}_down_bn"]["var"] = dst["var"]
+    k = dvars["params"]["conv_out"]["Conv_0"]["kernel"]
+    sp["conv_out_kernel"] = np.ascontiguousarray(
+        k.reshape(-1, k.shape[-2], k.shape[-1]))
+    dbn = dvars["params"]["conv_out"]["BatchNorm_0"]
+    dst = dvars["batch_stats"]["conv_out"]["BatchNorm_0"]
+    sp["conv_out_bn"]["scale"] = dbn["scale"]
+    sp["conv_out_bn"]["bias"] = dbn["bias"]
+    ss["conv_out_bn"]["mean"] = dst["mean"]
+    ss["conv_out_bn"]["var"] = dst["var"]
+
+    d_bev, d_ms = dense.apply(
+        jax.tree.map(jnp.asarray, dvars), jnp.asarray(feats),
+        jnp.asarray(coords), train=False)
+    s_bev, s_ms = sparse.apply(
+        jax.tree.map(jnp.asarray, svars), jnp.asarray(feats),
+        jnp.asarray(coords), train=False)
+
+    np.testing.assert_allclose(np.asarray(s_bev), np.asarray(d_bev),
+                               rtol=1e-4, atol=1e-4)
+    for lvl in (1, 2, 3, 4):
+        dgrid = np.asarray(d_ms[f"x_conv{lvl}"])
+        c, f, v = s_ms[f"x_conv{lvl}"]
+        c, f, v = np.asarray(c), np.asarray(f), np.asarray(v)
+        for b in range(B):
+            for row in range(c.shape[1]):
+                if v[b, row]:
+                    z, y, x = c[b, row]
+                    np.testing.assert_allclose(
+                        f[b, row], dgrid[b, z, y, x],
+                        rtol=1e-4, atol=1e-4,
+                        err_msg=f"lvl{lvl} b{b} site {(z, y, x)}")
