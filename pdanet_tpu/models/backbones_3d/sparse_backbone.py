@@ -86,6 +86,33 @@ class SubMConvBlock(nn.Module):
         return nn.relu(h)
 
 
+class SparseResBlock(nn.Module):
+    """SparseBasicBlock (spconv_unet.py / spconv_backbone.py:121-160):
+    two submanifold convs, identity residual, post-residual ReLU.  The
+    reference's in-block conv biases are folded into the BN running
+    means by the checkpoint converter (convert_res_block3d)."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+
+    @nn.compact
+    def __call__(self, feats, nbr_idx, valid, train=False):
+        K = int(np.prod(self.kernel))
+        h = feats
+        for i in (1, 2):
+            w = self.param(
+                f"kernel{i}",
+                nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+                (K, h.shape[-1], self.features),
+            )
+            h = gather_matmul_conv(h, nbr_idx, w)
+            h = MaskedBatchNorm(name=f"bn{i}")(h, valid, train)
+            if i == 1:
+                h = nn.relu(h)
+        out = nn.relu(h + feats)
+        return jnp.where(valid[..., None], out, 0.0)
+
+
 class SparseVoxelBackBone8x(nn.Module):
     """model_cfg keys: NUM_FILTERS (default [16, 16, 32, 64, 64]),
     NUM_OUTPUT_FEATURES (128), ACTIVE_BUDGETS (per-level V caps; default
@@ -199,4 +226,110 @@ class SparseVoxelBackBone8x(nn.Module):
         bev = jnp.transpose(canvas, (0, 2, 3, 1, 4)).reshape(
             B, Y4, X4, Zo * c_out
         )
+        return bev, multi_scale
+
+
+class SparseVoxelResBackBone8x(nn.Module):
+    """Gather-matmul ``VoxelResBackBone8x`` (spconv_backbone.py:183-293)
+    for FULL-RESOLUTION grids — the reference CenterPoint backbone at
+    the 0.05 m KITTI grid, where the dense analogue's level-1 tensor
+    alone is ~6 GB.  conv_input SubM(16) -> 2x SparseResBlock per level
+    with strided downs (32/64/128) -> z-compressing conv_out(128).
+    Same reference-exact stage geometry (stage_grids) and spconv active
+    sets (dilate) as SparseVoxelBackBone8x; model_cfg keys NUM_FILTERS
+    (default [16, 16, 32, 64, 128]), NUM_OUTPUT_FEATURES (128),
+    ACTIVE_BUDGETS, SPCONV_ACTIVE_SETS."""
+
+    model_cfg: Any
+    input_channels: int
+    grid_size: Any  # (nx, ny, nz)
+
+    @nn.compact
+    def __call__(self, voxel_features, voxel_coords, train=False):
+        cfg = EasyDict(self.model_cfg)
+        widths = list(cfg.get("NUM_FILTERS", [16, 16, 32, 64, 128]))
+        c_out = int(cfg.get("NUM_OUTPUT_FEATURES", 128))
+        V = voxel_coords.shape[1]
+        budgets = list(cfg.get("ACTIVE_BUDGETS", [V, V, V, V]))
+        grids, conv4_pad = stage_grids(self.grid_size)
+        dilate = bool(cfg.get("SPCONV_ACTIVE_SETS", True))
+
+        coords = voxel_coords
+        valid = jnp.all(coords >= 0, axis=-1)
+        feats = jnp.where(valid[..., None], voxel_features, 0.0)
+
+        tab = build_neighbor_table(coords, grids[0])
+        feats = SubMConvBlock(widths[0], name="conv_input")(
+            feats, tab, valid, train)
+        feats = SparseResBlock(widths[1], name="res1_a")(
+            feats, tab, valid, train)
+        feats = SparseResBlock(widths[1], name="res1_b")(
+            feats, tab, valid, train)
+        multi_scale = {"x_conv1": (coords, feats, valid)}
+
+        for lvl, width in ((1, widths[2]), (2, widths[3]), (3, widths[4])):
+            gx, gy, gz = grids[lvl]
+            out_coords = downsample_coords(
+                coords, int(budgets[lvl]), out_grid=(gz, gy, gx),
+                dilate=dilate,
+                padding=(conv4_pad or (1, 1, 1)) if lvl == 3 else (1, 1, 1),
+            )
+            out_valid = jnp.all(out_coords >= 0, axis=-1)
+            dtab = build_neighbor_table(
+                coords, grids[lvl - 1], query_coords=out_coords,
+                stride=(2, 2, 2),
+                padding=conv4_pad if lvl == 3 else None,
+            )
+            w = self.param(
+                f"conv{lvl + 1}_down_kernel",
+                nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+                (27, feats.shape[-1], width),
+            )
+            h = gather_matmul_conv(feats, dtab, w)
+            h = MaskedBatchNorm(name=f"conv{lvl + 1}_down_bn")(
+                h, out_valid, train)
+            feats = nn.relu(h)
+            coords, valid = out_coords, out_valid
+            tab = build_neighbor_table(coords, grids[lvl])
+            feats = SparseResBlock(width, name=f"res{lvl + 1}_a")(
+                feats, tab, valid, train)
+            feats = SparseResBlock(width, name=f"res{lvl + 1}_b")(
+                feats, tab, valid, train)
+            multi_scale[f"x_conv{lvl + 1}"] = (coords, feats, valid)
+
+        # conv_out with the reference's last_pad=0
+        X4, Y4, Z4 = grids[3]
+        zo_ref = Z4 >= 3
+        Zo = max((Z4 - 1) // 2 if zo_ref else (Z4 + 1) // 2, 1)
+        out_coords = downsample_coords(
+            coords, int(budgets[3]), stride=(2, 1, 1),
+            out_grid=(Zo, Y4, X4), dilate=dilate, kernel=(3, 1, 1),
+            padding=(0, 0, 0) if zo_ref else (1, 0, 0),
+        )
+        out_valid = jnp.all(out_coords >= 0, axis=-1)
+        otab = build_neighbor_table(
+            coords, grids[3], query_coords=out_coords,
+            stride=(2, 1, 1), kernel=(3, 1, 1),
+            padding=(0, 0, 0) if zo_ref else None,
+        )
+        w = self.param(
+            "conv_out_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (3, feats.shape[-1], c_out),
+        )
+        h = gather_matmul_conv(feats, otab, w)
+        h = MaskedBatchNorm(name="conv_out_bn")(h, out_valid, train)
+        h = nn.relu(h)
+
+        B = h.shape[0]
+        canvas = jnp.zeros((B, Zo, Y4, X4, c_out), h.dtype)
+        zs = jnp.where(out_valid, out_coords[..., 0], Zo)
+        ys = jnp.where(out_valid, out_coords[..., 1], Y4)
+        xs = jnp.where(out_valid, out_coords[..., 2], X4)
+        bidx = jnp.broadcast_to(
+            jnp.arange(B)[:, None], out_coords.shape[:2])
+        canvas = canvas.at[bidx, zs, ys, xs].set(
+            jnp.where(out_valid[..., None], h, 0.0), mode="drop")
+        bev = jnp.transpose(canvas, (0, 2, 3, 1, 4)).reshape(
+            B, Y4, X4, Zo * c_out)
         return bev, multi_scale

@@ -28,33 +28,8 @@ from ...ops.sparse_conv import (
     stage_grids,
 )
 from ...utils.easydict import EasyDict
-from .sparse_backbone import MaskedBatchNorm, SubMConvBlock
+from .sparse_backbone import MaskedBatchNorm, SparseResBlock, SubMConvBlock
 from .voxel_unet import channel_reduction
-
-
-class SparseResBlock(nn.Module):
-    """SparseBasicBlock (spconv_unet.py / spconv_backbone.py:121-160):
-    two submanifold convs, identity residual, post-residual ReLU."""
-
-    features: int
-    kernel: Sequence[int] = (3, 3, 3)
-
-    @nn.compact
-    def __call__(self, feats, nbr_idx, valid, train=False):
-        K = int(np.prod(self.kernel))
-        h = feats
-        for i in (1, 2):
-            w = self.param(
-                f"kernel{i}",
-                nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
-                (K, h.shape[-1], self.features),
-            )
-            h = gather_matmul_conv(h, nbr_idx, w)
-            h = MaskedBatchNorm(name=f"bn{i}")(h, valid, train)
-            if i == 1:
-                h = nn.relu(h)
-        out = nn.relu(h + feats)
-        return jnp.where(valid[..., None], out, 0.0)
 
 
 class SparseInverseConv(nn.Module):

@@ -41,11 +41,9 @@ class CenterPoint(nn.Module):
             name="vfe",
         )
         b3d = cfg.get("BACKBONE_3D", {})
-        b3d_cls = (
-            VoxelResBackBone8x
-            if b3d.get("NAME", "VoxelResBackBone8x") == "VoxelResBackBone8x"
-            else VoxelBackBone8x
-        )
+        from .second import _BACKBONES_3D
+
+        b3d_cls = _BACKBONES_3D[b3d.get("NAME", "VoxelResBackBone8x")]
         self.backbone_3d = b3d_cls(
             model_cfg=b3d,
             input_channels=self.input_channels,

@@ -16,7 +16,10 @@ from ...utils.easydict import EasyDict
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_3d.vfe.mean_vfe import MeanVFE
 from ..backbones_3d.voxel_backbone import VoxelBackBone8x, VoxelResBackBone8x
-from ..backbones_3d.sparse_backbone import SparseVoxelBackBone8x
+from ..backbones_3d.sparse_backbone import (
+    SparseVoxelBackBone8x,
+    SparseVoxelResBackBone8x,
+)
 from ..backbones_3d.sparse_unet import SparseUNetV2
 from ..backbones_3d.voxel_unet import UNetV2
 from ..dense_heads import anchor_head as AH
@@ -28,6 +31,7 @@ _BACKBONES_3D = {
     "VoxelResBackBone8x": VoxelResBackBone8x,
     "UNetV2": UNetV2,
     "SparseVoxelBackBone8x": SparseVoxelBackBone8x,
+    "SparseVoxelResBackBone8x": SparseVoxelResBackBone8x,
     "SparseUNetV2": SparseUNetV2,
 }
 

@@ -280,3 +280,43 @@ def test_centerpoint_dp_train_step():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_centerpoint_with_sparse_res_backbone():
+    """CenterPoint over SparseVoxelResBackBone8x (the full-res config's
+    backbone, centerpoint.yaml): forward decodes finite boxes and the
+    loss produces finite nonzero backbone gradients."""
+    import copy
+
+    cfg = EasyDict(copy.deepcopy(CP_MODEL_CFG))
+    cfg.BACKBONE_3D = {"NAME": "SparseVoxelResBackBone8x",
+                       "ACTIVE_BUDGETS": [128, 128, 128, 64]}
+    model = build_network(
+        cfg, num_class=2, grid_size=GRID, voxel_size=VOXEL,
+        point_cloud_range=PC_RANGE, class_names=("Car", "Pedestrian"))
+    voxels, coords, nums = _make_inputs(seed=21)
+    variables = model.init(jax.random.PRNGKey(0), voxels, coords, nums)
+    out = jax.jit(
+        lambda v, a, b, c: model.apply(v, a, b, c, train=False)
+    )(variables, voxels, coords, nums)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
+
+    gt = np.zeros((1, 1, 8), np.float32)
+    gt[0, 0] = [3.0, 0.5, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+
+    def loss_fn(params):
+        def fwd_loss(mdl):
+            o = mdl(jnp.asarray(voxels), jnp.asarray(coords),
+                    jnp.asarray(nums), train=True)
+            return mdl.loss(o, jnp.asarray(gt))
+
+        (loss, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            mutable=["batch_stats"], method=fwd_loss,
+        )
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    bb = jax.tree_util.tree_leaves(grads["backbone_3d"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in bb)

@@ -887,3 +887,81 @@ def test_sparse_voxel_backbone_converter_structure():
         vox, coords, train=False)
     bev = out[0] if isinstance(out, tuple) else out
     assert np.isfinite(np.asarray(bev)).all()
+
+
+def test_sparse_voxel_res_backbone_converter_structure():
+    """convert_sparse_voxel_res_backbone maps the reference
+    VoxelResBackBone8x schema (conv_input, conv1.{0,1} SparseBasicBlocks,
+    conv{2..4}.0 downs + .{1,2} res blocks, conv_out) onto
+    SparseVoxelResBackBone8x: tree paths match a real init, all keys
+    consumed, res-block conv biases fold into BN means, live apply."""
+    from ckpt_converter import TorchTree, convert_sparse_voxel_res_backbone
+
+    from pdanet_tpu.models.backbones_3d.sparse_backbone import (
+        SparseVoxelResBackBone8x,
+    )
+
+    widths = [16, 16, 32, 64, 128]
+    rng = np.random.RandomState(37)
+
+    def emit_seq(sd, prefix, cin, cout, k=(3, 3, 3), bias=False):
+        sd[prefix + ".0.weight"] = rng.randn(*k, cin, cout).astype(
+            np.float32)
+        if bias:
+            sd[prefix + ".0.bias"] = rng.randn(cout).astype(np.float32)
+        sd[prefix + ".1.weight"] = rng.rand(cout).astype(np.float32)
+        sd[prefix + ".1.bias"] = rng.randn(cout).astype(np.float32)
+        sd[prefix + ".1.running_mean"] = rng.randn(cout).astype(np.float32)
+        sd[prefix + ".1.running_var"] = rng.rand(cout).astype(np.float32)
+
+    def emit_res(sd, prefix, c):
+        for i in (1, 2):
+            sd[f"{prefix}.conv{i}.weight"] = rng.randn(
+                3, 3, 3, c, c).astype(np.float32)
+            sd[f"{prefix}.conv{i}.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.bn{i}.weight"] = rng.rand(c).astype(np.float32)
+            sd[f"{prefix}.bn{i}.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.bn{i}.running_mean"] = rng.randn(c).astype(
+                np.float32)
+            sd[f"{prefix}.bn{i}.running_var"] = rng.rand(c).astype(
+                np.float32)
+
+    sd = {}
+    emit_seq(sd, "conv_input", 4, widths[0], bias=True)
+    emit_res(sd, "conv1.0", widths[1])
+    emit_res(sd, "conv1.1", widths[1])
+    for lvl, cin, cout in ((2, widths[1], widths[2]),
+                           (3, widths[2], widths[3]),
+                           (4, widths[3], widths[4])):
+        emit_seq(sd, f"conv{lvl}.0", cin, cout)
+        emit_res(sd, f"conv{lvl}.1", cout)
+        emit_res(sd, f"conv{lvl}.2", cout)
+    emit_seq(sd, "conv_out", widths[4], 128, k=(3, 1, 1))
+
+    tracking = TrackingDict(sd)
+    params, stats = convert_sparse_voxel_res_backbone(
+        TorchTree(tracking), input_channels=4)
+    assert not (set(sd) - tracking.read), sorted(set(sd) - tracking.read)[:8]
+
+    # bias folding on a res-block BN
+    np.testing.assert_allclose(
+        stats["res1_a"]["bn1"]["mean"],
+        sd["conv1.0.bn1.running_mean"] - sd["conv1.0.conv1.bias"],
+        rtol=1e-6)
+
+    model = SparseVoxelResBackBone8x(
+        model_cfg={"ACTIVE_BUDGETS": [32, 32, 32, 32]},
+        input_channels=4, grid_size=(16, 16, 24))
+    vox = jnp.zeros((1, 32, 4))
+    coords = jnp.zeros((1, 32, 3), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), vox, coords)
+    for col, tree in (("params", params), ("batch_stats", stats)):
+        want = set(_tree_paths(dict(variables[col])))
+        got = set(_tree_paths(tree))
+        assert want == got, sorted(want ^ got)[:10]
+
+    bev, _ = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        vox, coords, train=False)
+    assert np.isfinite(np.asarray(bev)).all()

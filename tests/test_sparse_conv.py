@@ -466,3 +466,106 @@ def test_dense_masked_matches_sparse_backbone():
                         f[b, row], dgrid[b, z, y, x],
                         rtol=1e-4, atol=1e-4,
                         err_msg=f"lvl{lvl} b{b} site {(z, y, x)}")
+
+
+def test_dense_masked_matches_sparse_res_backbone():
+    """Same cross-implementation check for the RES pair: masked dense
+    VoxelResBackBone8x vs SparseVoxelResBackBone8x with shared weights
+    must agree at every active site and on the BEV map."""
+    from pdanet_tpu.models.backbones_3d.sparse_backbone import (
+        SparseVoxelResBackBone8x,
+    )
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import (
+        VoxelResBackBone8x,
+    )
+
+    rng = np.random.RandomState(11)
+    nx, ny, nz = 16, 16, 24
+    B, V = 1, 40
+    cells = np.stack([
+        rng.choice(nz * ny * nx, V, replace=False) for _ in range(B)
+    ])
+    coords = np.stack([cells // (ny * nx), (cells // nx) % ny,
+                       cells % nx], -1).astype(np.int32)
+    feats = rng.randn(B, V, 4).astype(np.float32)
+
+    dense = VoxelResBackBone8x(
+        model_cfg={}, input_channels=4, grid_size=(nx, ny, nz))
+    dvars = jax.tree.map(np.asarray, dict(dense.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(coords))))
+    # randomized running stats exercise the BN affine at every block
+    def rand_stats(tree):
+        for k, v in tree.items():
+            if k == "mean":
+                tree[k] = rng.uniform(-0.2, 0.2, v.shape).astype(np.float32)
+            elif k == "var":
+                tree[k] = rng.uniform(0.5, 2.0, v.shape).astype(np.float32)
+            elif isinstance(v, dict):
+                rand_stats(v)
+    rand_stats(dvars["batch_stats"])
+
+    sparse = SparseVoxelResBackBone8x(
+        model_cfg={"ACTIVE_BUDGETS": [8 * V] * 4},
+        input_channels=4, grid_size=(nx, ny, nz))
+    svars = jax.tree.map(np.asarray, dict(sparse.init(
+        jax.random.PRNGKey(1), jnp.asarray(feats), jnp.asarray(coords))))
+    sp, ss = svars["params"], svars["batch_stats"]
+
+    def copy_seq(dname, skern, sbn):
+        k = dvars["params"][dname]["Conv_0"]["kernel"]
+        dst = sp
+        dst[skern] = np.ascontiguousarray(
+            k.reshape(-1, k.shape[-2], k.shape[-1]))
+        sp[sbn]["scale"] = dvars["params"][dname]["BatchNorm_0"]["scale"]
+        sp[sbn]["bias"] = dvars["params"][dname]["BatchNorm_0"]["bias"]
+        ss[sbn]["mean"] = dvars["batch_stats"][dname]["BatchNorm_0"]["mean"]
+        ss[sbn]["var"] = dvars["batch_stats"][dname]["BatchNorm_0"]["var"]
+
+    # conv_input (dict-layout on the sparse side)
+    k = dvars["params"]["conv_input"]["Conv_0"]["kernel"]
+    sp["conv_input"]["kernel"] = np.ascontiguousarray(
+        k.reshape(-1, k.shape[-2], k.shape[-1]))
+    sp["conv_input"]["bn"]["scale"] = \
+        dvars["params"]["conv_input"]["BatchNorm_0"]["scale"]
+    sp["conv_input"]["bn"]["bias"] = \
+        dvars["params"]["conv_input"]["BatchNorm_0"]["bias"]
+    ss["conv_input"]["bn"]["mean"] = \
+        dvars["batch_stats"]["conv_input"]["BatchNorm_0"]["mean"]
+    ss["conv_input"]["bn"]["var"] = \
+        dvars["batch_stats"]["conv_input"]["BatchNorm_0"]["var"]
+    for name in [f"res{l}_{s}" for l in (1, 2, 3, 4) for s in ("a", "b")]:
+        for i in (1, 2):
+            k = dvars["params"][name][f"conv{i}"]["kernel"]
+            sp[name][f"kernel{i}"] = np.ascontiguousarray(
+                k.reshape(-1, k.shape[-2], k.shape[-1]))
+            sp[name][f"bn{i}"]["scale"] = \
+                dvars["params"][name][f"bn{i}"]["scale"]
+            sp[name][f"bn{i}"]["bias"] = \
+                dvars["params"][name][f"bn{i}"]["bias"]
+            ss[name][f"bn{i}"]["mean"] = \
+                dvars["batch_stats"][name][f"bn{i}"]["mean"]
+            ss[name][f"bn{i}"]["var"] = \
+                dvars["batch_stats"][name][f"bn{i}"]["var"]
+    for l in (2, 3, 4):
+        copy_seq(f"conv{l}_down", f"conv{l}_down_kernel", f"conv{l}_down_bn")
+    copy_seq("conv_out", "conv_out_kernel", "conv_out_bn")
+
+    d_bev, d_ms = dense.apply(
+        jax.tree.map(jnp.asarray, dvars), jnp.asarray(feats),
+        jnp.asarray(coords), train=False)
+    s_bev, s_ms = sparse.apply(
+        jax.tree.map(jnp.asarray, svars), jnp.asarray(feats),
+        jnp.asarray(coords), train=False)
+    np.testing.assert_allclose(np.asarray(s_bev), np.asarray(d_bev),
+                               rtol=1e-4, atol=1e-4)
+    for lvl in (1, 2, 3, 4):
+        dgrid = np.asarray(d_ms[f"x_conv{lvl}"])
+        c, f, v = (np.asarray(t) for t in s_ms[f"x_conv{lvl}"])
+        for b in range(B):
+            for row in range(c.shape[1]):
+                if v[b, row]:
+                    z, y, x = c[b, row]
+                    np.testing.assert_allclose(
+                        f[b, row], dgrid[b, z, y, x],
+                        rtol=1e-4, atol=1e-4,
+                        err_msg=f"lvl{lvl} {(z, y, x)}")

@@ -448,6 +448,70 @@ def convert_sparse_voxel_backbone(tree, widths, c_out, input_channels=4,
     return params, stats
 
 
+def convert_sparse_res_block(tree, cin, cout):
+    """SparseBasicBlock (spconv_backbone.py:121-160) -> flax
+    ``SparseResBlock`` {kernel1, bn1, kernel2, bn2}; in-block conv
+    biases fold into the BN running means."""
+    p, s = {}, {}
+    for i, c_in in ((1, cin), (2, cout)):
+        ct, bt = tree.sub(f"conv{i}"), tree.sub(f"bn{i}")
+        w = _conv3d_kernel(ct["weight"], c_in, cout)
+        p[f"kernel{i}"] = w.reshape(-1, c_in, cout)
+        mean = np.asarray(bt["running_mean"])
+        if "bias" in ct:
+            mean = mean - np.asarray(ct["bias"])
+        p[f"bn{i}"] = {"scale": bt["weight"], "bias": bt["bias"]}
+        s[f"bn{i}"] = {"mean": mean, "var": bt["running_var"]}
+    return p, s
+
+
+def convert_sparse_voxel_res_backbone(tree, input_channels=4):
+    """Reference VoxelResBackBone8x (spconv_backbone.py:183-293) onto
+    the SPARSE flax ``SparseVoxelResBackBone8x``: conv_input SubM block,
+    conv1.{0,1} SparseBasicBlocks -> res1_a/res1_b, conv{2..4}.0 downs
+    -> conv{L}_down_kernel/_bn, conv{2..4}.{1,2} -> res{L}_a/_b,
+    conv_out -> conv_out_kernel/_bn.  Same tap flattening and
+    bias-folding rules as convert_sparse_voxel_backbone."""
+    widths = [16, 16, 32, 64, 128]
+    params, stats = {}, {}
+
+    def seq(conv_tree, bn_tree, kname, bnname, cin, cout):
+        w = _conv3d_kernel(conv_tree["weight"], cin, cout)
+        mean = np.asarray(bn_tree["running_mean"])
+        if "bias" in conv_tree:
+            mean = mean - np.asarray(conv_tree["bias"])
+        bn_p = {"scale": bn_tree["weight"], "bias": bn_tree["bias"]}
+        bn_s = {"mean": mean, "var": bn_tree["running_var"]}
+        return w.reshape(-1, cin, cout), bn_p, bn_s
+
+    k, bp, bs = seq(tree.sub("conv_input.0"), tree.sub("conv_input.1"),
+                    None, None, input_channels, widths[0])
+    params["conv_input"] = {"kernel": k, "bn": bp}
+    stats["conv_input"] = {"bn": bs}
+    for i, name in ((0, "res1_a"), (1, "res1_b")):
+        p, s = convert_sparse_res_block(
+            tree.sub(f"conv1.{i}"), widths[1], widths[1])
+        params[name], stats[name] = p, s
+    for lvl, cin, cout in ((2, widths[1], widths[2]),
+                           (3, widths[2], widths[3]),
+                           (4, widths[3], widths[4])):
+        k, bp, bs = seq(tree.sub(f"conv{lvl}.0.0"),
+                        tree.sub(f"conv{lvl}.0.1"), None, None, cin, cout)
+        params[f"conv{lvl}_down_kernel"] = k
+        params[f"conv{lvl}_down_bn"] = bp
+        stats[f"conv{lvl}_down_bn"] = bs
+        for i, suf in ((1, "a"), (2, "b")):
+            p, s = convert_sparse_res_block(
+                tree.sub(f"conv{lvl}.{i}"), cout, cout)
+            params[f"res{lvl}_{suf}"], stats[f"res{lvl}_{suf}"] = p, s
+    k, bp, bs = seq(tree.sub("conv_out.0"), tree.sub("conv_out.1"),
+                    None, None, widths[4], 128)
+    params["conv_out_kernel"] = k
+    params["conv_out_bn"] = bp
+    stats["conv_out_bn"] = bs
+    return params, stats
+
+
 def convert_fc_bn_stack(tree, n, drop_after, prefix):
     """Torch Sequential of [Linear/Conv1d(no bias), BN1d, ReLU
     (+ Dropout when drop_after(k))] x n -> flax {prefix}_fc{k} Dense +
@@ -1104,11 +1168,15 @@ def convert_center_head(tree, model_cfg, num_class_each_head):
 
 
 def convert_centerpoint_checkpoint(state_dict, model_cfg, class_names):
-    """CenterPoint: MeanVFE (no params) + VoxelResBackBone8x +
-    BaseBEVBackbone + CenterHead."""
+    """CenterPoint: MeanVFE (no params) + VoxelResBackBone8x (dense or
+    sparse by BACKBONE_3D.NAME) + BaseBEVBackbone + CenterHead."""
     tree = TorchTree(state_dict)
     params, stats = {}, {}
-    p, s = convert_voxel_res_backbone_dense(tree.sub("backbone_3d"))
+    bb_name = model_cfg.BACKBONE_3D.get("NAME", "VoxelResBackBone8x")
+    if bb_name == "SparseVoxelResBackBone8x":
+        p, s = convert_sparse_voxel_res_backbone(tree.sub("backbone_3d"))
+    else:
+        p, s = convert_voxel_res_backbone_dense(tree.sub("backbone_3d"))
     params["backbone_3d"], stats["backbone_3d"] = p, s
     p, s = convert_bev_backbone(tree.sub("backbone_2d"),
                                 model_cfg.BACKBONE_2D)
@@ -1149,6 +1217,9 @@ def convert_second_checkpoint(state_dict, model_cfg):
         p, s = convert_sparse_voxel_backbone(tree.sub("backbone_3d"),
                                              widths, c_out,
                                              input_channels=4)
+    elif bb_name == "SparseVoxelResBackBone8x":
+        p, s = convert_sparse_voxel_res_backbone(tree.sub("backbone_3d"),
+                                                 input_channels=4)
     elif bb_name == "VoxelResBackBone8x":
         p, s = convert_voxel_res_backbone_dense(tree.sub("backbone_3d"),
                                                 input_channels=4)
