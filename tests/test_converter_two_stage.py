@@ -512,6 +512,43 @@ def _emit_conv3d_seq(sd, prefix, params, stats, name):
              stats[name]["BatchNorm_0"])
 
 
+def _emit_dense_unet(sd, prefix, bp, bs):
+    """Inverse-emit the dense flax UNetV2 variables into the reference
+    spconv_unet key schema (encoder + UR decoder; dense ConvTranspose
+    kernels mirror back to the spconv orientation)."""
+    _emit_conv3d_seq(sd, f"{prefix}.conv_input", bp, bs, "conv_input")
+    _emit_conv3d_seq(sd, f"{prefix}.conv1.0", bp, bs, "conv1")
+    for lvl in (2, 3, 4):
+        _emit_conv3d_seq(sd, f"{prefix}.conv{lvl}.0", bp, bs,
+                         f"conv{lvl}_down")
+        _emit_conv3d_seq(sd, f"{prefix}.conv{lvl}.1", bp, bs,
+                         f"conv{lvl}_a")
+        _emit_conv3d_seq(sd, f"{prefix}.conv{lvl}.2", bp, bs,
+                         f"conv{lvl}_b")
+    if "conv_out" in bp:
+        _emit_conv3d_seq(sd, f"{prefix}.conv_out", bp, bs, "conv_out")
+    for k in (4, 3, 2, 1):
+        up, us = bp[f"ur{k}"], bs[f"ur{k}"]
+        for cname, bname in (("conv1", "bn1"), ("conv2", "bn2")):
+            sd[f"{prefix}.conv_up_t{k}.{cname}.weight"] = np.asarray(
+                up["conv_up_t"][cname]["kernel"])
+            _emit_bn(sd, f"{prefix}.conv_up_t{k}.{bname}",
+                     up["conv_up_t"][bname], us["conv_up_t"][bname])
+        sd[f"{prefix}.conv_up_m{k}.0.weight"] = np.asarray(
+            up["conv_up_m"]["Conv_0"]["kernel"])
+        _emit_bn(sd, f"{prefix}.conv_up_m{k}.1",
+                 up["conv_up_m"]["BatchNorm_0"],
+                 us["conv_up_m"]["BatchNorm_0"])
+        if k > 1:
+            iv, ivs = bp[f"inv_conv{k}"], bs[f"inv_conv{k}"]
+            w = np.asarray(iv["ConvTranspose_0"]["kernel"])
+            sd[f"{prefix}.inv_conv{k}.0.weight"] = np.ascontiguousarray(
+                w[::-1, ::-1, ::-1])
+            _emit_bn(sd, f"{prefix}.inv_conv{k}.1",
+                     iv["BatchNorm_0"], ivs["BatchNorm_0"])
+    _emit_conv3d_seq(sd, f"{prefix}.conv5.0", bp, bs, "conv5")
+
+
 def test_parta2_converter_roundtrip():
     from ckpt_converter import convert_parta2_checkpoint
     from test_parta2 import GRID, PARTA2_MODEL_CFG, PC_RANGE, VOXEL_SIZE, \
@@ -530,38 +567,8 @@ def test_parta2_converter_roundtrip():
 
     sd = {}
     # UNetV2 dense backbone (encoder + decoder)
-    bp, bs = params["backbone_3d"], stats["backbone_3d"]
-    _emit_conv3d_seq(sd, "backbone_3d.conv_input", bp, bs, "conv_input")
-    _emit_conv3d_seq(sd, "backbone_3d.conv1.0", bp, bs, "conv1")
-    for lvl in (2, 3, 4):
-        _emit_conv3d_seq(sd, f"backbone_3d.conv{lvl}.0", bp, bs,
-                         f"conv{lvl}_down")
-        _emit_conv3d_seq(sd, f"backbone_3d.conv{lvl}.1", bp, bs,
-                         f"conv{lvl}_a")
-        _emit_conv3d_seq(sd, f"backbone_3d.conv{lvl}.2", bp, bs,
-                         f"conv{lvl}_b")
-    if "conv_out" in bp:
-        _emit_conv3d_seq(sd, "backbone_3d.conv_out", bp, bs, "conv_out")
-    for k in (4, 3, 2, 1):
-        up, us = bp[f"ur{k}"], bs[f"ur{k}"]
-        for cname, bname in (("conv1", "bn1"), ("conv2", "bn2")):
-            sd[f"backbone_3d.conv_up_t{k}.{cname}.weight"] = np.asarray(
-                up["conv_up_t"][cname]["kernel"])
-            _emit_bn(sd, f"backbone_3d.conv_up_t{k}.{bname}",
-                     up["conv_up_t"][bname], us["conv_up_t"][bname])
-        sd[f"backbone_3d.conv_up_m{k}.0.weight"] = np.asarray(
-            up["conv_up_m"]["Conv_0"]["kernel"])
-        _emit_bn(sd, f"backbone_3d.conv_up_m{k}.1",
-                 up["conv_up_m"]["BatchNorm_0"],
-                 us["conv_up_m"]["BatchNorm_0"])
-        if k > 1:
-            iv, ivs = bp[f"inv_conv{k}"], bs[f"inv_conv{k}"]
-            w = np.asarray(iv["ConvTranspose_0"]["kernel"])
-            sd[f"backbone_3d.inv_conv{k}.0.weight"] = np.ascontiguousarray(
-                w[::-1, ::-1, ::-1])
-            _emit_bn(sd, f"backbone_3d.inv_conv{k}.1",
-                     iv["BatchNorm_0"], ivs["BatchNorm_0"])
-    _emit_conv3d_seq(sd, "backbone_3d.conv5.0", bp, bs, "conv5")
+    _emit_dense_unet(sd, "backbone_3d", params["backbone_3d"],
+                     stats["backbone_3d"])
 
     # BEV RPN first stage
     _emit_bev_backbone(sd, "backbone_2d", params["backbone_2d"],

@@ -161,3 +161,83 @@ def test_parta2_sparse_unet_forward_and_loss():
     b3d_grads = jax.tree_util.tree_leaves(grads["backbone_3d"])
     assert all(np.isfinite(np.asarray(g)).all() for g in b3d_grads)
     assert any(float(jnp.abs(g).max()) > 0 for g in b3d_grads)
+
+
+def test_dense_masked_matches_sparse_unet():
+    """UNet-pair capstone: the masked dense UNetV2's variables are
+    inverse-emitted into the reference spconv_unet schema and converted
+    via convert_sparse_unet onto SparseUNetV2 — the two INDEPENDENT
+    implementations (dense ConvTranspose decoder vs inverse neighbor
+    tables) must then agree on the encoder BEV and the decoder's
+    per-voxel features.  Validates both converters, both modules, and
+    the torch ConvTranspose/(inverse conv) equivalence in one shot."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from ckpt_converter import TorchTree, convert_sparse_unet
+    from test_converter_two_stage import _emit_dense_unet
+
+    from pdanet_tpu.models.backbones_3d.sparse_unet import SparseUNetV2
+    from pdanet_tpu.models.backbones_3d.voxel_unet import UNetV2
+
+    rng = np.random.RandomState(13)
+    nx, ny, nz = 16, 16, 24
+    B, V = 1, 40
+    cells = np.stack([
+        rng.choice(nz * ny * nx, V, replace=False) for _ in range(B)
+    ])
+    coords = np.stack([cells // (ny * nx), (cells // nx) % ny,
+                       cells % nx], -1).astype(np.int32)
+    feats = rng.randn(B, V, 4).astype(np.float32)
+
+    dense = UNetV2(model_cfg={}, input_channels=4, grid_size=(nx, ny, nz))
+    dvars = jax.tree.map(np.asarray, dict(dense.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(coords))))
+
+    def rand_stats(tree):
+        for k, v in tree.items():
+            if k == "mean":
+                tree[k] = rng.uniform(-0.2, 0.2, v.shape).astype(np.float32)
+            elif k == "var":
+                tree[k] = rng.uniform(0.5, 2.0, v.shape).astype(np.float32)
+            elif isinstance(v, dict):
+                rand_stats(v)
+    rand_stats(dvars["batch_stats"])
+
+    sd = {}
+    _emit_dense_unet(sd, "bb", dvars["params"], dvars["batch_stats"])
+    sp, ss = convert_sparse_unet(TorchTree(sd).sub("bb"), input_channels=4)
+
+    sparse = SparseUNetV2(
+        model_cfg={"ACTIVE_BUDGETS": [8 * V] * 4},
+        input_channels=4, grid_size=(nx, ny, nz))
+    svars = sparse.init(jax.random.PRNGKey(1), jnp.asarray(feats),
+                        jnp.asarray(coords))
+
+    def paths(t, pre=()):
+        out = {}
+        for k, v in t.items():
+            if isinstance(v, dict):
+                out.update(paths(v, pre + (k,)))
+            else:
+                out[pre + (k,)] = v
+        return out
+    assert set(paths(dict(svars["params"]))) == set(paths(sp))
+    assert set(paths(dict(svars["batch_stats"]))) == set(paths(ss))
+
+    d_bev, d_aux = dense.apply(
+        jax.tree.map(jnp.asarray, dvars), jnp.asarray(feats),
+        jnp.asarray(coords), train=False)
+    s_bev, s_aux = sparse.apply(
+        {"params": jax.tree.map(jnp.asarray, sp),
+         "batch_stats": jax.tree.map(jnp.asarray, ss)},
+        jnp.asarray(feats), jnp.asarray(coords), train=False)
+
+    np.testing.assert_allclose(np.asarray(s_bev), np.asarray(d_bev),
+                               rtol=1e-4, atol=1e-4)
+    dv = np.asarray(d_aux["point_valid"])
+    np.testing.assert_array_equal(np.asarray(s_aux["point_valid"]), dv)
+    df = np.asarray(d_aux["point_features"])
+    sf = np.asarray(s_aux["point_features"])
+    np.testing.assert_allclose(sf[dv], df[dv], rtol=1e-4, atol=1e-4)
