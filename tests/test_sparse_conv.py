@@ -569,3 +569,63 @@ def test_dense_masked_matches_sparse_res_backbone():
                         f[b, row], dgrid[b, z, y, x],
                         rtol=1e-4, atol=1e-4,
                         err_msg=f"lvl{lvl} {(z, y, x)}")
+
+
+def test_dense_masked_bn_train_stats_match_sparse():
+    """DenseMaskedBatchNorm (grid occupancy) and MaskedBatchNorm (sparse
+    rows) must compute identical TRAIN-mode statistics and running-stat
+    updates over the same active set — training the dense and sparse
+    formulations stays equivalent, matching spconv's BN-over-actives."""
+    from pdanet_tpu.models.backbones_3d.sparse_backbone import (
+        MaskedBatchNorm,
+    )
+    from pdanet_tpu.models.backbones_3d.voxel_backbone import (
+        DenseMaskedBatchNorm,
+    )
+
+    rng = np.random.RandomState(5)
+    B, V, C = 2, 24, 4
+    nx, ny, nz = GRID
+    coords = _active(rng, B=B, V=V)
+    valid = coords[..., 0] >= 0
+    rows = rng.randn(B, V, C).astype(np.float32)
+    rows[~valid] = 1e6  # poison padding
+
+    grid = np.zeros((B, nz, ny, nx, C), np.float32)
+    occ = np.zeros((B, nz, ny, nx), bool)
+    for b in range(B):
+        for v in range(V):
+            z, y, x = coords[b, v]
+            if z >= 0:
+                grid[b, z, y, x] = rows[b, v]
+                occ[b, z, y, x] = True
+
+    sbn = MaskedBatchNorm(momentum=0.9)
+    svars = sbn.init(jax.random.PRNGKey(0), jnp.asarray(rows),
+                     jnp.asarray(valid), train=True)
+    _, smut = sbn.apply(svars, jnp.asarray(rows), jnp.asarray(valid),
+                        train=True, mutable=["batch_stats"])
+
+    dbn = DenseMaskedBatchNorm(momentum=0.9, epsilon=1e-3)
+    dvars = dbn.init(jax.random.PRNGKey(0), jnp.asarray(grid),
+                     jnp.asarray(occ), train=True)
+    dy, dmut = dbn.apply(dvars, jnp.asarray(grid), jnp.asarray(occ),
+                         train=True, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(
+        np.asarray(dmut["batch_stats"]["mean"]),
+        np.asarray(smut["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dmut["batch_stats"]["var"]),
+        np.asarray(smut["batch_stats"]["var"]), rtol=1e-5, atol=1e-6)
+    # normalized values agree at active sites too
+    dy = np.asarray(dy)
+    sy = np.asarray(sbn.apply(svars, jnp.asarray(rows), jnp.asarray(valid),
+                              train=True, mutable=["batch_stats"])[0])
+    for b in range(B):
+        for v in range(V):
+            z, y, x = coords[b, v]
+            if z >= 0:
+                np.testing.assert_allclose(dy[b, z, y, x], sy[b, v],
+                                           rtol=1e-4, atol=1e-5)
+    assert (dy[~occ] == 0).all()
