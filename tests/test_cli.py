@@ -549,3 +549,155 @@ def test_once_cli(tmp_path):
         det_annos = pickle.load(f)
     assert len(det_annos) == 4
     assert "boxes_3d" in det_annos[0]
+
+
+VR_TINY_CFG = """CLASS_NAMES: ['Car', 'Pedestrian', 'Cyclist']
+
+DATA_CONFIG:
+    DATASET: 'KittiDataset'
+    DATA_PATH: '{data_path}'
+    POINT_CLOUD_RANGE: [0, -12.8, -3, 25.6, 12.8, 1]
+    MAX_GT_BOXES: 16
+    DATA_SPLIT: {{'train': train, 'test': val}}
+    INFO_PATH: {{'train': [kitti_infos_train.pkl], 'test': [kitti_infos_val.pkl]}}
+    GET_ITEM_LIST: ["points"]
+    FOV_POINTS_ONLY: False
+    DATA_AUGMENTOR:
+        DISABLE_AUG_LIST: ['placeholder']
+        AUG_CONFIG_LIST:
+            - NAME: random_world_flip
+              ALONG_AXIS_LIST: ['x']
+    POINT_FEATURE_ENCODING: {{
+        encoding_type: absolute_coordinates_encoding,
+        used_feature_list: ['x', 'y', 'z', 'intensity'],
+        src_feature_list: ['x', 'y', 'z', 'intensity'],
+    }}
+    DATA_PROCESSOR:
+        - NAME: mask_points_and_boxes_outside_range
+          REMOVE_OUTSIDE_BOXES: True
+        - NAME: shuffle_points
+          SHUFFLE_ENABLED: {{'train': True, 'test': False}}
+        - NAME: transform_points_to_voxels
+          VOXEL_SIZE: [0.4, 0.4, 0.5]
+          MAX_POINTS_PER_VOXEL: 8
+          MAX_NUMBER_OF_VOXELS: {{'train': 2048, 'test': 2048}}
+
+MODEL:
+    NAME: VoxelRCNN
+    VFE:
+        NAME: MeanVFE
+    BACKBONE_3D:
+        NAME: VoxelBackBone8x
+        BN_MOMENTUM: 0.9
+        NUM_FILTERS: [8, 8, 16, 16, 16]
+        NUM_OUTPUT_FEATURES: 16
+    MAP_TO_BEV:
+        NAME: HeightCompression
+        NUM_BEV_FEATURES: 16
+    BACKBONE_2D:
+        NAME: BaseBEVBackbone
+        BN_MOMENTUM: 0.9
+        LAYER_NUMS: [2, 2]
+        LAYER_STRIDES: [1, 2]
+        NUM_FILTERS: [16, 32]
+        UPSAMPLE_STRIDES: [1, 2]
+        NUM_UPSAMPLE_FILTERS: [16, 16]
+    DENSE_HEAD:
+        NAME: AnchorHeadSingle
+        CLASS_AGNOSTIC: False
+        USE_DIRECTION_CLASSIFIER: True
+        DIR_OFFSET: 0.78539
+        DIR_LIMIT_OFFSET: 0.0
+        NUM_DIR_BINS: 2
+        ANCHOR_GENERATOR_CONFIG: [
+            {{'class_name': 'Car', 'anchor_sizes': [[3.9, 1.6, 1.56]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+              'align_center': False, 'feature_map_stride': 8,
+              'matched_threshold': 0.6, 'unmatched_threshold': 0.45}},
+            {{'class_name': 'Pedestrian', 'anchor_sizes': [[0.8, 0.6, 1.73]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+              'align_center': False, 'feature_map_stride': 8,
+              'matched_threshold': 0.5, 'unmatched_threshold': 0.35}},
+            {{'class_name': 'Cyclist', 'anchor_sizes': [[1.76, 0.6, 1.73]],
+              'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-0.6],
+              'align_center': False, 'feature_map_stride': 8,
+              'matched_threshold': 0.5, 'unmatched_threshold': 0.35}}
+        ]
+        TARGET_ASSIGNER_CONFIG:
+            NAME: AxisAlignedTargetAssigner
+            POS_FRACTION: -1.0
+            SAMPLE_SIZE: 512
+            NORM_BY_NUM_EXAMPLES: False
+            MATCH_HEIGHT: False
+            BOX_CODER: ResidualCoder
+        LOSS_CONFIG:
+            LOSS_WEIGHTS: {{'cls_weight': 1.0, 'loc_weight': 2.0,
+                            'dir_weight': 0.2, 'code_weights': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]}}
+    ROI_HEAD:
+        NAME: VoxelRCNNHead
+        CLASS_AGNOSTIC: True
+        SHARED_FC: [32, 32]
+        CLS_FC: [16]
+        REG_FC: [16]
+        DP_RATIO: 0.0
+        NMS_CONFIG:
+            TRAIN: {{'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 32, 'NMS_THRESH': 0.8}}
+            TEST: {{'NMS_PRE_MAXSIZE': 64, 'NMS_POST_MAXSIZE': 16, 'NMS_THRESH': 0.7}}
+        ROI_GRID_POOL:
+            FEATURES_SOURCE: ['x_conv2', 'x_conv3', 'x_conv4']
+            PRE_MLP: True
+            GRID_SIZE: 4
+            POOL_LAYERS:
+                x_conv2: {{'MLPS': [[8, 8]], 'QUERY_RANGES': [[4, 4, 4]],
+                           'POOL_RADIUS': [0.8], 'NSAMPLE': [16], 'POOL_METHOD': max_pool}}
+                x_conv3: {{'MLPS': [[8, 8]], 'QUERY_RANGES': [[4, 4, 4]],
+                           'POOL_RADIUS': [1.6], 'NSAMPLE': [16], 'POOL_METHOD': max_pool}}
+                x_conv4: {{'MLPS': [[8, 8]], 'QUERY_RANGES': [[4, 4, 4]],
+                           'POOL_RADIUS': [3.2], 'NSAMPLE': [16], 'POOL_METHOD': max_pool}}
+        TARGET_CONFIG:
+            BOX_CODER: ResidualCoder
+            ROI_PER_IMAGE: 16
+            FG_RATIO: 0.5
+            SAMPLE_ROI_BY_EACH_CLASS: True
+            CLS_SCORE_TYPE: roi_iou
+            CLS_FG_THRESH: 0.75
+            CLS_BG_THRESH: 0.25
+            CLS_BG_THRESH_LO: 0.1
+            HARD_BG_RATIO: 0.8
+            REG_FG_THRESH: 0.55
+        LOSS_CONFIG:
+            CLS_LOSS: BinaryCrossEntropy
+            REG_LOSS: smooth-l1
+            CORNER_LOSS_REGULARIZATION: True
+            LOSS_WEIGHTS: {{'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                            'rcnn_corner_weight': 1.0,
+                            'code_weights': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]}}
+    POST_PROCESSING:
+        RECALL_THRESH_LIST: [0.3, 0.5, 0.7]
+        SCORE_THRESH: 0.1
+        OUTPUT_RAW_SCORE: False
+        EVAL_METRIC: kitti
+        NMS_CONFIG:
+            MULTI_CLASSES_NMS: False
+            NMS_TYPE: nms_gpu
+            NMS_THRESH: 0.1
+            NMS_PRE_MAXSIZE: 64
+            NMS_POST_MAXSIZE: 16
+
+OPTIMIZATION:
+    BATCH_SIZE_PER_GPU: 2
+    NUM_EPOCHS: 1
+    OPTIMIZER: adam_onecycle
+    LR: 0.003
+    WEIGHT_DECAY: 0.01
+    MOMENTUM: 0.9
+    MOMS: [0.95, 0.85]
+    PCT_START: 0.4
+    DIV_FACTOR: 10
+    DECAY_STEP_LIST: [35, 45]
+    LR_DECAY: 0.1
+    LR_CLIP: 0.0000001
+    LR_WARMUP: False
+    WARMUP_EPOCH: 1
+    GRAD_NORM_CLIP: 10
+"""

@@ -192,3 +192,18 @@ def test_centerpoint_overfit_produces_detections(tmp_path):
     car_frames, total = _detect_cars(cfg, root, model, trained)
     assert total == 4
     assert car_frames == 4, f"car found in {car_frames}/4 frames"
+
+
+@pytest.mark.slow
+def test_voxel_rcnn_overfit_produces_detections(tmp_path):
+    """Two-stage paradigm: the RPN must learn proposals AND the RoI head
+    must learn iou-quality scores + refinements that clear the 0.3 score
+    gate — end-to-end validation of the proposal/target-sampling/
+    refinement training dynamic the forward/loss tests cannot see."""
+    from test_cli import VR_TINY_CFG
+
+    root, cfg = _build_fixture(tmp_path, VR_TINY_CFG)
+    model, trained, loss, tb = _overfit(cfg, root, epochs=300)
+    car_frames, total = _detect_cars(cfg, root, model, trained)
+    assert total == 4
+    assert car_frames == 4, f"car found in {car_frames}/4 frames"
