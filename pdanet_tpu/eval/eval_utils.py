@@ -64,16 +64,32 @@ def eval_one_epoch(
         """Forward + in-graph recall record: gt arrives at the STATIC
         collate cap, so this compiles once per (model, batch) — the old
         host loop called boxes_iou3d on per-frame (cnt, n_gt) shapes and
-        recompiled for every distinct pair (VERDICT weak #4)."""
-        pred = forward(variables, dev_batch)
+        recompiled for every distinct pair (VERDICT weak #4).  Two-stage
+        detectors also expose first-stage `rois` in the forward output;
+        the reference records `roi_%s` recall from them
+        (detector3d_template.py:293,316-320)."""
+        out = model.apply(
+            variables, dev_batch, train=False, method=model.forward_batch
+        )
+        pred = post_fn(out, cfg.MODEL)
         P = pred["pred_boxes"].shape[1]
         pred_valid = (
             jnp.arange(P, dtype=jnp.int32)[None, :]
             < pred["pred_counts"][:, None]
         )
-        rec = jax.vmap(
-            lambda pb, pv, gb: generate_recall_record(pb, pv, gb, thresh_list)
-        )(pred["pred_boxes"], pred_valid, gt_boxes)
+        if "rois" in out:
+            rec = jax.vmap(
+                lambda pb, pv, gb, rb, rv: generate_recall_record(
+                    pb, pv, gb, thresh_list, rb, rv
+                )
+            )(pred["pred_boxes"], pred_valid, gt_boxes,
+              out["rois"], out["roi_valid"])
+        else:
+            rec = jax.vmap(
+                lambda pb, pv, gb: generate_recall_record(
+                    pb, pv, gb, thresh_list
+                )
+            )(pred["pred_boxes"], pred_valid, gt_boxes)
         recall = {k: jnp.sum(v) for k, v in rec.items()}
         return pred, recall
 
@@ -151,8 +167,11 @@ def eval_one_epoch(
     gt_num_cnt = max(metric["gt_num"], 1)
     ret_dict = {}
     for cur_thresh in cfg.MODEL.POST_PROCESSING.RECALL_THRESH_LIST:
+        cur_roi_recall = metric["recall_roi_%s" % str(cur_thresh)] / gt_num_cnt
         cur_rcnn_recall = metric["recall_rcnn_%s" % str(cur_thresh)] / gt_num_cnt
+        logger.info("recall_roi_%s: %f" % (cur_thresh, cur_roi_recall))
         logger.info("recall_rcnn_%s: %f" % (cur_thresh, cur_rcnn_recall))
+        ret_dict["recall/roi_%s" % str(cur_thresh)] = cur_roi_recall
         ret_dict["recall/rcnn_%s" % str(cur_thresh)] = cur_rcnn_recall
 
     with open(result_dir / "result.pkl", "wb") as f:

@@ -171,11 +171,16 @@ def post_processing(batch_cls_preds, batch_box_preds, post_cfg):
     }
 
 
-def generate_recall_record(pred_boxes, pred_valid, gt_boxes, thresh_list):
+def generate_recall_record(pred_boxes, pred_valid, gt_boxes, thresh_list,
+                           rois=None, roi_valid=None):
     """Recall-vs-gt at IoU thresholds (detector3d_template.py:287-329).
 
     Args:
         pred_boxes: (P, 7); pred_valid: (P,) bool; gt_boxes: (M, 8) padded.
+        rois / roi_valid: optional (R, 7) first-stage proposals — the
+            reference records `roi_%s` recall from them when
+            `data_dict['rois']` exists (:293,:316-320) and leaves the roi
+            counters at 0 for single-stage models.
     Returns:
         dict: gt count and recalled counts per threshold.
     """
@@ -183,8 +188,18 @@ def generate_recall_record(pred_boxes, pred_valid, gt_boxes, thresh_list):
     iou = boxes_iou3d(pred_boxes, gt_boxes[:, 0:7])  # (P, M)
     iou = jnp.where(pred_valid[:, None] & gt_valid[None, :], iou, 0.0)
     best_per_gt = jnp.max(iou, axis=0)
+    if rois is not None:
+        iou_roi = boxes_iou3d(rois[:, 0:7], gt_boxes[:, 0:7])
+        iou_roi = jnp.where(
+            roi_valid[:, None] & gt_valid[None, :], iou_roi, 0.0
+        )
+        best_roi_per_gt = jnp.max(iou_roi, axis=0)
     out = {"gt": jnp.sum(gt_valid.astype(jnp.int32))}
     for t in thresh_list:
-        out[f"roi_{t}"] = jnp.sum((best_per_gt > t).astype(jnp.int32))
-        out[f"rcnn_{t}"] = out[f"roi_{t}"]
+        out[f"rcnn_{t}"] = jnp.sum((best_per_gt > t).astype(jnp.int32))
+        out[f"roi_{t}"] = (
+            jnp.sum((best_roi_per_gt > t).astype(jnp.int32))
+            if rois is not None
+            else jnp.zeros((), jnp.int32)
+        )
     return out

@@ -305,3 +305,51 @@ def test_bf16_eval_compute_close_to_f32():
     np.testing.assert_array_equal(
         np.asarray(t32["batch_box_preds"]), np.asarray(t16["batch_box_preds"])
     )
+
+
+def test_recall_record_roi_stage():
+    """generate_recall_record with first-stage rois: `roi_%s` counts come
+    from the rois, `rcnn_%s` from the final boxes, and the single-stage
+    call leaves roi counters at 0 (detector3d_template.py:287-329)."""
+    from pdanet_tpu.models.detectors.iassd import generate_recall_record
+
+    gt = np.zeros((4, 8), np.float32)
+    gt[0] = [0, 0, 0, 4, 2, 1.5, 0.3, 1]
+    gt[1] = [10, 5, -1, 3.8, 1.9, 1.4, -0.2, 1]
+    # rows 2-3 stay zero padding
+
+    # final boxes: one matches gt0 exactly, one is far off
+    pred = np.zeros((3, 7), np.float32)
+    pred[0] = gt[0][:7]
+    pred[1] = [50, 50, 0, 4, 2, 1.5, 0.0]
+    pred_valid = np.array([True, True, False])
+
+    # rois: both gts covered (gt1 loosely), plus an invalid row that
+    # would match gt1 perfectly if its validity mask were ignored
+    rois = np.zeros((3, 7), np.float32)
+    rois[0] = gt[0][:7]
+    rois[1] = [11.2, 5.0, -1, 3.8, 1.9, 1.4, -0.2]  # IoU vs gt1 ~ 0.43
+    rois[2] = gt[1][:7]
+    roi_valid = np.array([True, True, False])
+
+    rec = jax.tree.map(
+        np.asarray,
+        generate_recall_record(
+            jnp.asarray(pred), jnp.asarray(pred_valid), jnp.asarray(gt),
+            [0.3, 0.7], jnp.asarray(rois), jnp.asarray(roi_valid),
+        ),
+    )
+    assert rec["gt"] == 2
+    assert rec["rcnn_0.3"] == 1 and rec["rcnn_0.7"] == 1
+    assert rec["roi_0.3"] == 2  # the shifted roi still clears IoU 0.3
+    assert rec["roi_0.7"] == 1  # but not 0.7
+
+    single = jax.tree.map(
+        np.asarray,
+        generate_recall_record(
+            jnp.asarray(pred), jnp.asarray(pred_valid), jnp.asarray(gt),
+            [0.3, 0.7],
+        ),
+    )
+    assert single["rcnn_0.3"] == 1
+    assert single["roi_0.3"] == 0 and single["roi_0.7"] == 0

@@ -407,3 +407,52 @@ def test_voxel_rcnn_forward_loss_grads():
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     roi_grads = jax.tree_util.tree_leaves(grads["roi_head"])
     assert any(float(jnp.abs(g).max()) > 0 for g in roi_grads)
+
+
+def test_voxel_rcnn_in_graph_roi_recall():
+    """The eval recall path records first-stage (roi) recall separately
+    from the refined-box (rcnn) recall for two-stage detectors
+    (detector3d_template.py:293,316-320), in one jitted graph."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_second import GRID, _make_inputs
+
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.models.detectors.iassd import generate_recall_record
+    from pdanet_tpu.models.detectors.voxel_rcnn import post_processing
+
+    cfg = _voxel_rcnn_tiny_cfg()
+    model = build_network(
+        cfg, num_class=2, grid_size=GRID, voxel_size=(0.2, 0.2, 0.5),
+        point_cloud_range=(0, -3.2, -3, 6.4, 3.2, 1),
+        class_names=("Car", "Pedestrian"),
+    )
+    voxels, coords, nums = _make_inputs(seed=4)
+    variables = model.init(jax.random.PRNGKey(0), voxels, coords, nums)
+
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0] = [3.0, 0.5, -0.8, 3.9, 1.6, 1.56, 0.3, 1]
+    thresh_list = [0.3, 0.5, 0.7]
+
+    @jax.jit
+    def fwd_recall(variables, voxels, coords, nums, gt_boxes):
+        out = model.apply(variables, voxels, coords, nums, train=False)
+        pred = post_processing(out, cfg)
+        P = pred["pred_boxes"].shape[1]
+        pv = jnp.arange(P, dtype=jnp.int32)[None, :] < pred["pred_counts"][:, None]
+        rec = jax.vmap(
+            lambda pb, v, gb, rb, rv: generate_recall_record(
+                pb, v, gb, thresh_list, rb, rv
+            )
+        )(pred["pred_boxes"], pv, gt_boxes, out["rois"], out["roi_valid"])
+        return {k: jnp.sum(v) for k, v in rec.items()}
+
+    rec = jax.tree.map(
+        np.asarray,
+        fwd_recall(variables, jnp.asarray(voxels), jnp.asarray(coords),
+                   jnp.asarray(nums), jnp.asarray(gt)),
+    )
+    assert rec["gt"] == 1
+    for t in thresh_list:
+        assert f"roi_{t}" in rec and f"rcnn_{t}" in rec
+        assert 0 <= rec[f"roi_{t}"] <= 1 and 0 <= rec[f"rcnn_{t}"] <= 1
