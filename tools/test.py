@@ -24,6 +24,11 @@ def parse_config():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--launcher", choices=["none", "pytorch", "slurm", "jax"], default="none")
+    parser.add_argument("--tcp_port", type=int, default=18888,
+                        help="accepted for reference-script compatibility; "
+                             "jax.distributed uses env-var rendezvous")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="accepted for reference-script compatibility")
     parser.add_argument("--eval_tag", type=str, default="default")
     parser.add_argument("--eval_all", action="store_true", default=False)
     parser.add_argument("--ckpt_dir", type=str, default=None)

@@ -28,12 +28,27 @@ def parse_config():
     parser.add_argument("--ckpt", type=str, default=None, help="checkpoint to start from")
     parser.add_argument("--pretrained_model", type=str, default=None, help="pretrained_model")
     parser.add_argument("--launcher", choices=["none", "pytorch", "slurm", "jax"], default="none")
+    parser.add_argument("--tcp_port", type=int, default=18888,
+                        help="accepted for reference-script compatibility; "
+                             "jax.distributed uses env-var rendezvous")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="accepted for reference-script compatibility")
+    parser.add_argument("--sync_bn", action="store_true", default=False,
+                        help="accepted for compatibility: BatchNorm under the "
+                             "GSPMD data mesh already reduces over the GLOBAL "
+                             "batch (XLA inserts the cross-device mean), so "
+                             "sync-BN semantics are always on")
     parser.add_argument("--fix_random_seed", action="store_true", default=False)
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=8)
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER,
                         help="set extra config keys if needed")
     parser.add_argument("--num_epochs_to_eval", type=int, default=5)
+    parser.add_argument("--max_waiting_mins", type=int, default=0,
+                        help="accepted for reference-script compatibility "
+                             "(post-train eval reads finished checkpoints)")
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--save_to_file", action="store_true", default=False)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
                         default=False)
     parser.add_argument("--profile", action="store_true", default=False,
@@ -200,7 +215,9 @@ def main():
         )
         eval_output_dir = output_dir / "eval" / "eval_with_train"
         eval_output_dir.mkdir(parents=True, exist_ok=True)
-        start_eval_epoch = max(epochs - args.num_epochs_to_eval, 0)
+        # reference train.py:204 overrides args.start_epoch the same way
+        start_eval_epoch = max(epochs - args.num_epochs_to_eval,
+                               args.start_epoch, 0)
         for ck_path in sorted(glob.glob(str(ckpt_dir / "checkpoint_epoch_*.pkl"))):
             m = re.findall(r"checkpoint_epoch_(\d+)\.pkl", ck_path)
             if not m or int(m[-1]) <= start_eval_epoch:
@@ -218,7 +235,7 @@ def main():
             )
             eval_one_epoch(
                 cfg, eval_model, variables, test_loader, epoch_id, logger,
-                result_dir=cur_result_dir,
+                result_dir=cur_result_dir, save_to_file=args.save_to_file,
             )
             logger.info("Epoch %s has been evaluated" % epoch_id)
         logger.info("**********************End evaluation**********************")
