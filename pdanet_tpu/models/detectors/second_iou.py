@@ -102,7 +102,10 @@ class SECONDNetIoU(SECOND):
 def post_processing(forward_out, model_cfg):
     """Eval scoring + final NMS (second_net_iou.py:74-160).
 
-    SCORE_TYPE: 'iou' (default) | 'cls' | 'weighted_iou_cls'."""
+    SCORE_TYPE: 'iou' (default) | 'cls' | 'weighted_iou_cls'.  The
+    reference's 'score_by_class' / 'num_pts_iou_cls' modes are not on any
+    shipped config (second_iou.yaml uses the default) and raise here,
+    like the reference's own MULTI_CLASSES_NMS branch (:113-114)."""
     post_cfg = EasyDict(model_cfg).POST_PROCESSING
     nms_cfg = post_cfg.NMS_CONFIG
     iou_preds = jax.nn.sigmoid(

@@ -701,3 +701,35 @@ OPTIMIZATION:
     WARMUP_EPOCH: 1
     GRAD_NORM_CLIP: 10
 """
+
+
+def test_voxel_rcnn_cli(cli_env, tmp_path):
+    """A TWO-STAGE config (Voxel-RCNN) through the same train/test CLIs:
+    RPN training + RoI sampling under the fused step, then eval through
+    the refined-box post-processing and the roi/rcnn recall records."""
+    root, _, env = cli_env
+    cfg_file = root / "cfgs" / "kitti_models" / "voxel_rcnn-tiny.yaml"
+    cfg_file.write_text(VR_TINY_CFG.format(data_path=root))
+    workdir = tmp_path / "vr_run"
+    workdir.mkdir()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/train.py"), "--cfg_file", str(cfg_file),
+         "--extra_tag", "vr_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    ckpts = list((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert ckpts, "no checkpoint produced"
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file", str(cfg_file),
+         "--ckpt", str(ckpts[0]), "--extra_tag", "vr_smoke"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, "STDOUT:" + r.stdout[-800:] + "\nSTDERR:" + r.stderr[-2200:]
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl produced"
+    # two-stage eval must report a first-stage (roi) recall line
+    log_files = list((workdir / "output").rglob("log_eval_*.txt"))
+    assert any("recall_roi_" in p.read_text() for p in log_files)
