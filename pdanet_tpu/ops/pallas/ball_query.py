@@ -82,9 +82,12 @@ def _first_k_in_chunk(hit3, K):
     # lane-local inclusive prefix: values <= 128, exact in bf16 -> f32
     # (Mosaic requires 32-bit matmul accumulators; a bf16 accumulator was
     # tried and rejected by the verifier)
+    # stored bf16: prefix values are integers <= 128, exact in bf16, and
+    # halving this (Mb*C, 128) intermediate is what lets the big-Mb
+    # ONCE-scale blocks fit the scoped-VMEM budget
     inner = jax.lax.dot_general(
         h3, L, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).reshape(Mb, C, _LANES)
+    ).astype(jnp.bfloat16).reshape(Mb, C, _LANES)
     counts = jnp.sum(hb.astype(jnp.float32), axis=-1)  # (Mb, C)
     # sub-chunk-level inclusive prefix (counts <= 128, exact in bf16)
     Lc = _tri_incl(C, jnp.bfloat16)
@@ -106,7 +109,7 @@ def _first_k_in_chunk(hit3, K):
     start_k = jnp.sum(onehot.astype(jnp.float32) * start[:, None, :], axis=2)
     # boundary sub-chunk rows of the lane prefix, via batched one-hot matmul
     rows = jax.lax.dot_general(
-        onehot, inner.astype(jnp.bfloat16),
+        onehot, inner,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (Mb, K, 128)
@@ -132,13 +135,14 @@ def _bq_kernel(radii, nsamples, n_chunks, ctr_ref, sup_ref, *rest):
     cnt_refs = rest[2 * n_r : 3 * n_r]
     C = sup_ref.shape[2]
     NC = C * _LANES
+    MB = ctr_ref.shape[2]
     nc_id = pl.program_id(2) if n_chunks > 1 else 0
     base = (nc_id * NC).astype(jnp.float32) if n_chunks > 1 else 0.0
 
     # centers: (1, Mb) lane rows -> (Mb, 1) columns -> (Mb, 1, 1)
-    cxs = jnp.transpose(ctr_ref[0, 0:1, :]).reshape(_MB, 1, 1)
-    cys = jnp.transpose(ctr_ref[0, 1:2, :]).reshape(_MB, 1, 1)
-    czs = jnp.transpose(ctr_ref[0, 2:3, :]).reshape(_MB, 1, 1)
+    cxs = jnp.transpose(ctr_ref[0, 0:1, :]).reshape(MB, 1, 1)
+    cys = jnp.transpose(ctr_ref[0, 1:2, :]).reshape(MB, 1, 1)
+    czs = jnp.transpose(ctr_ref[0, 2:3, :]).reshape(MB, 1, 1)
     xs = sup_ref[0, 0, :, :].reshape(1, C, _LANES)
     ys = sup_ref[0, 1, :, :].reshape(1, C, _LANES)
     zs = sup_ref[0, 2, :, :].reshape(1, C, _LANES)
@@ -192,14 +196,21 @@ def _pad_to(x, axis, mult, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("radii", "nsamples", "interpret", "nc"))
+@partial(jax.jit,
+         static_argnames=("radii", "nsamples", "interpret", "nc", "mb"))
 def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
-                            nc=_NC):
+                            nc=_NC, mb=None):
     """Multi-radius first-K ball query (TPU kernel).
 
     Args:
         radii / nsamples: tuples (shared distance field).
         xyz: (B, N, 3) support; new_xyz: (B, M, 3) centers.
+        mb: centers per block (lane multiple), default 128.  Probed on
+            v5e (2026-08): the per-program fixed cost is ~7 us (ONCE L0
+            runs 2048 programs = ~14 ms of its 51 ms), but every larger
+            (mb, nc) block — mb=256 or nc=16384, even with the bf16
+            prefix storage — exceeds the scoped-VMEM budget and fails to
+            compile, so 128 x 8192 is the practical optimum.
     Returns:
         tuple of (B, M, nsample_i) int32, CUDA padding semantics.
     """
@@ -211,26 +222,28 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
     NC = min(Np, nc)
     n_chunks = Np // NC
     C = NC // _LANES
+    if mb is None:
+        mb = _MB
     # free row-major reshape: sub-chunk planes (B, 3, Np/128, 128) so the
     # kernel's distance field lives directly in (Mb, C, 128) layout
     sup4 = sup.reshape(B, 3, Np // _LANES, _LANES)
 
     ctr = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
-    ctr = _pad_to(ctr, 2, _MB, 0.0)
+    ctr = _pad_to(ctr, 2, mb, 0.0)
     Mp = ctr.shape[2]
 
-    grid = (B, Mp // _MB, n_chunks)
+    grid = (B, Mp // mb, n_chunks)
     outs = pl.pallas_call(
         partial(_bq_kernel, radii, nsamples, n_chunks),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, _MB), lambda b, m, n: (b, 0, m),
+            pl.BlockSpec((1, 3, mb), lambda b, m, n: (b, 0, m),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, C, _LANES), lambda b, m, n: (b, 0, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, _MB, K), lambda b, m, n: (b, m, 0),
+            pl.BlockSpec((1, mb, K), lambda b, m, n: (b, m, 0),
                          memory_space=pltpu.VMEM)
             for K in nsamples
         ),
@@ -238,8 +251,8 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
             jax.ShapeDtypeStruct((B, Mp, K), jnp.int32) for K in nsamples
         ),
         scratch_shapes=(
-            [pltpu.VMEM((_MB, K), jnp.int32) for K in nsamples]
-            + [pltpu.VMEM((_MB, 1), jnp.float32) for _ in nsamples]
+            [pltpu.VMEM((mb, K), jnp.int32) for K in nsamples]
+            + [pltpu.VMEM((mb, 1), jnp.float32) for _ in nsamples]
         ),
         interpret=interpret,
     )(ctr, sup4)
