@@ -2,14 +2,20 @@
 ``pcdet/models/roi_heads/voxelrcnn_head.py`` (:1-260) +
 ``pointnet2_stack/voxel_pool_modules.NeighborVoxelSAModuleMSG`` (:1-131).
 
-TPU re-design of the voxel-query neighbor aggregation: the reference
-voxel-queries up to NSAMPLE non-empty sparse voxels within QUERY_RANGES of
-each RoI grid point.  Our 3D backbone is dense (every cell holds a value),
-so the query becomes a fixed 3x3x3 neighborhood gather around the grid
-point's cell at each scale — same three-MLP structure (feature pre-MLP +
-position MLP added, ReLU, max-pool over neighbors, out-MLP,
-voxel_pool_modules.py:90-127), with out-of-bounds / out-of-radius
-neighbors masked to the empty-ball zero contribution.
+The reference voxel-queries up to NSAMPLE non-empty sparse voxels within
+QUERY_RANGES of each RoI grid point (voxel_query_gpu.cu:11-89), then runs
+the three-MLP aggregation (feature pre-MLP + position MLP added, ReLU,
+max-pool over neighbors, out-MLP, voxel_pool_modules.py:90-127).  Two
+TPU forms here:
+
+* ``SparseNeighborGridPool`` (sparse backbone levels — the shipped
+  full-res configs): reference-exact voxel query via the sorted-key
+  neighbor table — +-QUERY_RANGES window, z-major scan order,
+  first-NSAMPLE active voxels with dist^2 <= r^2, empty-group ghost.
+* ``NeighborGridPool`` (dense-grid levels, tiny test scaffolds): a fixed
+  3x3x3 window gather — dense levels carry no active-set notion, so
+  first-K-ACTIVE is not reproducible; out-of-bounds / out-of-radius
+  neighbors mask to the empty-ball zero contribution.
 """
 
 from typing import Any, Sequence
@@ -113,14 +119,30 @@ class NeighborGridPool(nn.Module):
 
 class SparseNeighborGridPool(nn.Module):
     """Voxel-query aggregation over a SPARSE level — the true
-    ``NeighborVoxelSAModuleMSG`` form (voxel_pool_modules.py:90-127):
-    each RoI grid point queries the 3x3x3 cell window around its own
-    cell via the sorted-key neighbor table; absent cells mask out.
-    Unlocks full-res levels where the dense window gather cannot hold a
-    materialized grid."""
+    ``NeighborVoxelSAModuleMSG`` form (voxel_pool_modules.py:90-127) with
+    the CUDA voxel query's exact semantics (voxel_query_gpu.cu:11-89):
+
+    * each RoI grid point scans the +-QUERY_RANGES cell window around its
+      own cell in z-major (dz, dy, dx) order,
+    * keeps the FIRST ``nsample`` active voxels whose center lies within
+      ``radius`` (dist^2 <= r^2; under-full groups pad by duplicating the
+      first hit, which a max-pool ignores),
+    * an empty window yields the reference's "ghost" value
+      relu(mlp_pos(0)) — the reference zeroes the grouped features/rel of
+      empty groups BEFORE the position MLP (voxel_pool_modules.py:100-111)
+      and never re-zeroes after pooling.
+
+    Unlocks full-res levels where a dense window gather cannot hold a
+    materialized grid.  (The dense-grid fallback `NeighborGridPool` keeps
+    a fixed 3x3x3 window — dense levels carry no active-set notion, so
+    first-K-active is not reproducible there; the sparse path is the
+    reference-exact one and is what the shipped full-res configs use.)
+    """
 
     mlp: Sequence[int]  # (C_in, C_mid, C_out)
     radius: float
+    query_range: Sequence[int] = (1, 1, 1)  # (z, y, x) half-ranges
+    nsample: int = 16
 
     @nn.compact
     def __call__(self, entry, stride, query_xyz, voxel_size, pc_range,
@@ -132,10 +154,18 @@ class SparseNeighborGridPool(nn.Module):
         Returns:
             (B, G, C_out).
         """
-        from ...ops.sparse_conv import build_neighbor_table, stage_grids
+        from ...ops.sparse_conv import (
+            _kernel_offsets,
+            build_neighbor_table,
+            stage_grids,
+        )
 
         coords, feats, valid = entry
         c_mid, c_out = int(self.mlp[1]), int(self.mlp[2])
+        ns = int(self.nsample)
+        kernel = tuple(2 * int(r) + 1 for r in self.query_range)
+        K = int(np.prod(kernel))
+
         # feature pre-MLP on the sparse rows (mlps_in)
         f = nn.Dense(c_mid, use_bias=False, name="mlp_in")(feats)
         f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -151,23 +181,45 @@ class SparseNeighborGridPool(nn.Module):
         grids, _ = stage_grids(grid_size)
         lvl = grids[int(stride).bit_length() - 1]
         tab = build_neighbor_table(
-            coords, tuple(lvl), query_coords=cell_zyx
-        )  # (B, G, 27)
+            coords, tuple(lvl), query_coords=cell_zyx, kernel=kernel
+        )  # (B, G, K) in the CUDA kernel's z-major scan order
 
-        safe = jnp.maximum(tab, 0)
-        gathered = jax.vmap(lambda x, i: x[i])(f, safe)  # (B, G, 27, c_mid)
-        nbr_coords = jax.vmap(lambda c, i: c[i])(coords, safe)
-        centers = (
-            nbr_coords[..., ::-1].astype(jnp.float32) + 0.5
-        ) * vs + origin
-        rel = centers - query_xyz[:, :, None, :]
-        ok = (tab >= 0) & (jnp.sum(rel * rel, axis=-1) < self.radius**2)
+        # neighbor centers derive from the window offsets — no gather
+        offs = _kernel_offsets(kernel)  # (K, 3) zyx
+        nb_xyz = (cell_zyx[:, :, None, :] + offs[None, None])[..., ::-1]
+        centers = (nb_xyz.astype(jnp.float32) + 0.5) * vs + origin
+        rel_all = centers - query_xyz[:, :, None, :]  # (B, G, K, 3)
+        hit = (tab >= 0) & (
+            jnp.sum(rel_all * rel_all, axis=-1) <= self.radius**2
+        )
+
+        # first-nsample hits in scan order (two-sided: top_k of -key)
+        key = jnp.where(
+            hit, jax.lax.broadcasted_iota(jnp.int32, hit.shape, 2), K
+        )
+        neg_sel, pos_idx = jax.lax.top_k(-key, ns)  # (B, G, ns)
+        valid_k = -neg_sel < K
+        empty = ~hit.any(axis=-1)  # (B, G)
+
+        slot = jnp.take_along_axis(tab, pos_idx, axis=2)
+        gathered = jax.vmap(lambda x, i: x[i])(
+            f, jnp.maximum(slot, 0).reshape(slot.shape[0], -1)
+        ).reshape(slot.shape + (c_mid,))
+        rel = jnp.take_along_axis(rel_all, pos_idx[..., None], axis=2)
+        gathered = jnp.where(valid_k[..., None], gathered, 0.0)
+        rel = jnp.where(valid_k[..., None], rel, 0.0)
+        # reference empty-group semantics: slot 0 participates with
+        # rel = 0, features = 0 -> relu(mlp_pos(0)) survives the pool
+        valid_k = valid_k | (
+            empty[..., None]
+            & (jax.lax.broadcasted_iota(jnp.int32, valid_k.shape, 2) == 0)
+        )
 
         pos = nn.Dense(c_mid, use_bias=False, name="mlp_pos")(rel)
         pos = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name="bn_pos")(pos)
         h = nn.relu(gathered + pos)
-        h = jnp.where(ok[..., None], h, 0.0)
+        h = jnp.where(valid_k[..., None], h, 0.0)
         h = jnp.max(h, axis=2)
 
         h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
@@ -204,6 +256,12 @@ class VoxelRCNNHeadNet(nn.Module):
                 feats.append(
                     SparseNeighborGridPool(
                         mlp=tuple(mlp), radius=float(lcfg.POOL_RADIUS[0]),
+                        query_range=tuple(
+                            int(r) for r in lcfg.get(
+                                "QUERY_RANGES", [[1, 1, 1]]
+                            )[0]
+                        ),
+                        nsample=int(lcfg.get("NSAMPLE", [16])[0]),
                         name=f"pool_{src}",
                     )(
                         entry, strides[src], grid_xyz, voxel_size,

@@ -629,3 +629,125 @@ def test_dense_masked_bn_train_stats_match_sparse():
                 np.testing.assert_allclose(dy[b, z, y, x], sy[b, v],
                                            rtol=1e-4, atol=1e-5)
     assert (dy[~occ] == 0).all()
+
+
+def test_sparse_voxel_query_first_k_vs_oracle():
+    """SparseNeighborGridPool's selection must reproduce the CUDA voxel
+    query (voxel_query_gpu.cu:11-89): +-QUERY_RANGES window scanned in
+    z-major (dz, dy, dx) order, first-NSAMPLE active voxels whose CENTER
+    is within radius (dist^2 <= r^2), empty -> ghost relu(mlp_pos(0)).
+
+    The selection itself has no learnable surface, so the check runs the
+    module with identity-friendly params: mlp_in/bn_in identity-ish is
+    impossible to force exactly, so instead we compare the module against
+    a numpy re-aggregation that uses the ORACLE's selected slots with the
+    module's own extracted parameters."""
+    import flax
+    from pdanet_tpu.models.roi_heads.voxelrcnn_head import (
+        SparseNeighborGridPool,
+    )
+    from pdanet_tpu.ops.sparse_conv import stage_grids
+
+    rng = np.random.RandomState(7)
+    grid_size = (16, 16, 8)  # (nx, ny, nz)
+    stride = 2
+    vs_base = np.array([0.2, 0.2, 0.4], np.float32)
+    pc_range = np.array([0, -1.6, -1.6, 3.2, 1.6, 1.6], np.float32)
+    B, V, C = 1, 40, 6
+    G = 24
+    q_range = (2, 2, 2)
+    nsample = 4
+    radius = 1.1
+
+    grids, _ = stage_grids(grid_size)
+    gx, gy, gz = grids[1]  # stride-2 level dims (nx, ny, nz)
+    cells = rng.permutation(gx * gy * gz)[:V]
+    coords = np.stack(
+        [cells // (gy * gx), (cells // gx) % gy, cells % gx], axis=-1
+    ).astype(np.int32)[None]
+    coords[:, -8:] = -1  # padding rows
+    feats = rng.randn(B, V, C).astype(np.float32)
+    feats[:, -8:] = 0
+    query = rng.uniform(
+        pc_range[:3] + 0.1, pc_range[3:] - 0.1, (B, G, 3)
+    ).astype(np.float32)
+
+    mod = SparseNeighborGridPool(
+        mlp=(C, 5, 7), radius=radius, query_range=q_range, nsample=nsample
+    )
+    variables = mod.init(
+        jax.random.PRNGKey(0), tuple(map(jnp.asarray, (
+            coords, feats, (coords[..., 0] >= 0)))),
+        stride, jnp.asarray(query), tuple(vs_base), tuple(pc_range),
+        grid_size, False,
+    )
+    got = np.asarray(mod.apply(
+        variables, tuple(map(jnp.asarray, (
+            coords, feats, (coords[..., 0] >= 0)))),
+        stride, jnp.asarray(query), tuple(vs_base), tuple(pc_range),
+        grid_size, False,
+    ))
+
+    # ---- numpy oracle ----
+    p = flax.core.unfreeze(variables)["params"]
+    s = flax.core.unfreeze(variables)["batch_stats"]
+
+    def dense_bn(x, pn, bn):
+        w = np.asarray(p[pn]["kernel"])
+        y = x @ w
+        mean, var = np.asarray(s[bn]["mean"]), np.asarray(s[bn]["var"])
+        sc, bi = np.asarray(p[bn]["scale"]), np.asarray(p[bn]["bias"])
+        return (y - mean) / np.sqrt(var + 1e-5) * sc + bi
+
+    f_pre = dense_bn(feats, "mlp_in", "bn_in")
+    f_pre[:, -8:] = 0
+    vs = vs_base * stride
+    origin = pc_range[:3]
+    out_ref = np.zeros((B, G, 7), np.float32)
+    occ = {}
+    for v in range(V):
+        z, y, x = coords[0, v]
+        if z >= 0:
+            occ[(z, y, x)] = v
+    for g in range(G):
+        q = query[0, g]
+        cz, cy, cx = np.floor((q - origin) / vs).astype(np.int64)[::-1]
+        hits = []
+        for dz in range(-q_range[0], q_range[0] + 1):
+            for dy in range(-q_range[1], q_range[1] + 1):
+                for dx in range(-q_range[2], q_range[2] + 1):
+                    z, y, x = cz + dz, cy + dy, cx + dx
+                    if not (0 <= z < gz and 0 <= y < gy and 0 <= x < gx):
+                        continue
+                    v = occ.get((z, y, x))
+                    if v is None:
+                        continue
+                    center = (np.array([x, y, z], np.float32) + 0.5) * vs + origin
+                    d2 = float(np.sum((center - q) ** 2))
+                    if d2 > radius * radius:
+                        continue
+                    hits.append((v, center))
+                    if len(hits) >= nsample:
+                        break
+                else:
+                    continue
+                break
+            else:
+                continue
+            break
+        cands = []
+        if not hits:
+            cands.append((None, np.zeros(3, np.float32)))  # ghost slot
+        for v, center in hits:
+            cands.append((f_pre[0, v], center - q))
+        hs = []
+        for fv, rel in cands:
+            pos = dense_bn(rel[None], "mlp_pos", "bn_pos")[0]
+            base = np.zeros(5, np.float32) if fv is None else fv
+            hs.append(np.maximum(base + pos, 0.0))
+        pooled = np.max(np.stack(hs, 0), axis=0)
+        out_ref[0, g] = np.maximum(
+            dense_bn(pooled[None], "mlp_out", "bn_out")[0], 0.0
+        )
+
+    np.testing.assert_allclose(got, out_ref, rtol=2e-4, atol=2e-4)
