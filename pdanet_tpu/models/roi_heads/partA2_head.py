@@ -102,7 +102,10 @@ class PartA2HeadNet(nn.Module):
 
         dp = float(cfg.get("DP_RATIO", 0.0))
 
-        def fc_stack(x, widths, prefix, drop_between):
+        def fc_stack(x, widths, prefix, mode):
+            """mode 'between': dropout between layers (the shared stack,
+            partA2_head.py:39-40); mode 'first': dropout after layer 0
+            (cls/reg via make_fc_layers, roi_head_template.py:39-40)."""
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
                 x = nn.BatchNorm(
@@ -110,15 +113,18 @@ class PartA2HeadNet(nn.Module):
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)
                 x = nn.relu(x)
-                if drop_between and k != len(widths) - 1 and dp > 0:
+                drop = (
+                    k != len(widths) - 1 if mode == "between" else k == 0
+                )
+                if drop and dp > 0:
                     x = nn.Dropout(dp, deterministic=not train)(x)
             return x
 
-        shared = fc_stack(x, list(cfg.SHARED_FC), "shared", True)
-        cls_h = fc_stack(shared, list(cfg.CLS_FC), "cls", False)
+        shared = fc_stack(x, list(cfg.SHARED_FC), "shared", "between")
+        cls_h = fc_stack(shared, list(cfg.CLS_FC), "cls", "first")
         rcnn_cls = nn.Dense(self.num_class, use_bias=True,
                             name="cls_pred")(cls_h)
-        reg_h = fc_stack(shared, list(cfg.REG_FC), "reg", False)
+        reg_h = fc_stack(shared, list(cfg.REG_FC), "reg", "first")
         rcnn_reg = nn.Dense(
             self.code_size * self.num_class, use_bias=True, name="reg_pred",
             kernel_init=nn.initializers.normal(0.001),

@@ -285,6 +285,8 @@ class VoxelRCNNHeadNet(nn.Module):
         dp = float(cfg.get("DP_RATIO", 0.0))
 
         def fc_stack(x, widths, prefix):
+            # dropout between layers in ALL three stacks
+            # (voxelrcnn_head.py:49-50,62-63,76-77)
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
                 x = nn.BatchNorm(
