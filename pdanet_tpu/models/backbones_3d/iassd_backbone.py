@@ -120,14 +120,17 @@ class QueryGroupDensityDirectional(nn.Module):
     def __call__(self, xyz, new_xyz, features, idx=None):
         if idx is None:
             idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
-        grouped_xyz = group_points(xyz, idx)  # (B, M, K, 3) absolute
+        # one merged f32 gather of [xyz | features] (see the
+        # SAModuleWithSampling grouping note: separate small-channel
+        # gathers lower poorly on TPU)
+        g = group_points(jnp.concatenate([xyz, features], axis=-1), idx)
+        grouped_xyz = g[..., 0:3]  # (B, M, K, 3) absolute
         d2 = jnp.sum(
             jnp.square(grouped_xyz - new_xyz[:, :, None, :]), axis=-1
         )  # (B, M, K)
         density = jnp.exp(-d2 / (2.0 * self.radius**2)) / (2.5 * self.radius)
         direction = (grouped_xyz - new_xyz[:, :, None, :]) / self.radius
-        grouped_feats = group_points(features, idx)
-        return grouped_xyz, density[..., None], direction, grouped_feats
+        return grouped_xyz, density[..., None], direction, g[..., 3:]
 
 
 class SAModuleWithSampling(nn.Module):
@@ -169,12 +172,19 @@ class SAModuleWithSampling(nn.Module):
             idx_list = ball_query_multi(
                 tuple(self.radii), tuple(self.nsamples), xyz, new_xyz
             )
+            # ONE f32 gather of [xyz | features] per scale: a separate
+            # 1-channel feature gather (L0's intensity) lowers to a
+            # pathological scalar bf16 gather on TPU — profiled at
+            # 1.38 ms/frame of the 8.4 ms KITTI b1 forward vs ~0.25 ms
+            # for the merged 4-channel f32 form (identical values)
+            src = jnp.concatenate([xyz, features], axis=-1)
             scale_feats = []
             for i, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
                 idx = idx_list[i]
-                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                g = group_points(src, idx)
                 grouped = jnp.concatenate(
-                    [grouped_xyz, group_points(features, idx)], axis=-1
+                    [g[..., 0:3] - new_xyz[:, :, None, :], g[..., 3:]],
+                    axis=-1,
                 )
                 h = MLPStack(
                     tuple(self.mlps[i][1:]), dtype=self.compute_dtype,
