@@ -152,18 +152,32 @@ class SAModuleWithSampling(nn.Module):
     compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
 
     @nn.compact
-    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
+    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None,
+                 train=False, fps_identity=False):
         sampled_idx = None
         if ctr_xyz is None:
-            sampled_idx = run_sampling(
-                self.sample_type_list,
-                self.sample_range_list,
-                self.npoint_list,
-                xyz,
-                features,
-                cls_features,
+            if fps_identity:
+                # input is D-FPS selection-ordered: FPS = identity prefix
+                # (see the backbone setup proof note)
+                B, N = xyz.shape[:2]
+                m = min(int(self.npoint_list[0]), N)
+                sampled_idx = jnp.broadcast_to(
+                    jnp.arange(m, dtype=jnp.int32)[None], (B, m)
+                )
+            else:
+                sampled_idx = run_sampling(
+                    self.sample_type_list,
+                    self.sample_range_list,
+                    self.npoint_list,
+                    xyz,
+                    features,
+                    cls_features,
+                )
+            new_xyz = (
+                xyz[:, : sampled_idx.shape[1]]
+                if fps_identity
+                else gather_points(xyz, sampled_idx)
             )
-            new_xyz = gather_points(xyz, sampled_idx)
         else:
             new_xyz = ctr_xyz
 
@@ -236,19 +250,33 @@ class SAModuleEllipsoid(nn.Module):
     compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
 
     @nn.compact
-    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None, train=False):
+    def __call__(self, xyz, features, cls_features=None, ctr_xyz=None,
+                 train=False, fps_identity=False):
         sampled_idx = None
         if ctr_xyz is None:
-            sampled_idx = run_sampling(
-                self.sample_type_list,
-                self.sample_range_list,
-                self.npoint_list,
-                xyz,
-                features,
-                cls_features,
-            )
-            new_xyz = gather_points(xyz, sampled_idx)
-            new_xyz_feature = gather_points(features, sampled_idx)
+            if fps_identity:
+                # input is D-FPS selection-ordered: FPS = identity prefix
+                # (see the backbone setup proof note)
+                B, N = xyz.shape[:2]
+                m = min(int(self.npoint_list[0]), N)
+                sampled_idx = jnp.broadcast_to(
+                    jnp.arange(m, dtype=jnp.int32)[None], (B, m)
+                )
+            else:
+                sampled_idx = run_sampling(
+                    self.sample_type_list,
+                    self.sample_range_list,
+                    self.npoint_list,
+                    xyz,
+                    features,
+                    cls_features,
+                )
+            if fps_identity:
+                new_xyz = xyz[:, : sampled_idx.shape[1]]
+                new_xyz_feature = features[:, : sampled_idx.shape[1]]
+            else:
+                new_xyz = gather_points(xyz, sampled_idx)
+                new_xyz_feature = gather_points(features, sampled_idx)
         else:
             new_xyz = ctr_xyz
             new_xyz_feature = None
@@ -392,6 +420,39 @@ class IASSDBackbone(nn.Module):
             compute_dtype = TrainEvalDtype(jnp.bfloat16)
         max_translate = sa_cfg.get("MAX_TRANSLATE_RANGE", None)
 
+        # Stacked-D-FPS identity shortcut: FPS over a SELECTION-ORDERED
+        # point set is the identity prefix [0..m).  Proof sketch: let
+        # Y = the full output of a D-FPS run (in selection order).  At
+        # step j of FPS(Y, m), the j-th selection p_j of the original run
+        # is in Y with Y-index j; the running min-distance field on Y is
+        # the original field restricted to Y, so p_j attains the maximum;
+        # any tying candidate is unselected (selected points sit at
+        # distance 0) and therefore has Y-index > j — the lowest-index
+        # tie-break picks p_j = Y[j].  (Degenerate caveat: when uniques
+        # are exhausted the reference re-emits index 0; the identity
+        # prefix emits later indices of the SAME duplicated point —
+        # value-identical downstream.)  Layer 1's 4096->1024 D-FPS on
+        # KITTI (and the 16384->4096 ONCE one) therefore needs no kernel.
+        self_shortcut = bool(mcfg.get("FPS_IDENTITY_SHORTCUT", True))
+
+        def _is_pure_dfps(j):
+            return (
+                self.layer_types[j] == "SA_Layer"
+                and list(sa_cfg.SAMPLE_METHOD_LIST[j]) == ["D-FPS"]
+                and list(sa_cfg.SAMPLE_RANGE_LIST[j]) == [-1]
+                and int(self.ctr_idx_list[j]) == -1
+            )
+
+        fps_identity = []
+        for k in range(len(sa_cfg.NSAMPLE_LIST)):
+            li = self.layer_inputs[k]
+            li = li[-1] if isinstance(li, list) else li
+            producer_ordered = li > 0 and _is_pure_dfps(li - 1)
+            fps_identity.append(
+                self_shortcut and _is_pure_dfps(k) and producer_ordered
+            )
+        self.fps_identity = tuple(fps_identity)
+
         channel_in = self.input_channels - 3
         channel_out_list = [channel_in]
         modules = []
@@ -470,7 +531,8 @@ class IASSDBackbone(nn.Module):
                     else None
                 )
                 li_xyz, li_features, li_cls_pred, _ = module(
-                    xyz_input, feature_input, li_cls_pred, ctr_xyz=ctr_xyz, train=train
+                    xyz_input, feature_input, li_cls_pred, ctr_xyz=ctr_xyz,
+                    train=train, fps_identity=self.fps_identity[i],
                 )
             else:  # Vote_Layer
                 li_xyz, xyz_select, ctr_offsets = module(

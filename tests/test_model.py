@@ -353,3 +353,26 @@ def test_recall_record_roi_stage():
     )
     assert single["rcnn_0.3"] == 1
     assert single["roi_0.3"] == 0 and single["roi_0.7"] == 0
+
+
+def test_fps_identity_shortcut_matches_real_fps():
+    """The tiny PDA config's layer-1 D-FPS qualifies for the identity
+    shortcut; forward outputs must be IDENTICAL with it on (default) and
+    off (FPS_IDENTITY_SHORTCUT: False)."""
+    cfg_on = tiny_model_cfg()
+    cfg_off = tiny_model_cfg()
+    cfg_off.BACKBONE_3D["FPS_IDENTITY_SHORTCUT"] = False
+
+    m_on = build_network(cfg_on, num_class=3, input_channels=4)
+    m_off = build_network(cfg_off, num_class=3, input_channels=4)
+
+    rng = jax.random.PRNGKey(3)
+    pts = jax.random.normal(rng, (2, 128, 4)) * 8.0
+    variables = jax.jit(
+        lambda r, p: m_on.init({"params": r}, p, train=False)
+    )(rng, pts)
+
+    o_on = jax.jit(lambda v, p: m_on.apply(v, p, train=False))(variables, pts)
+    o_off = jax.jit(lambda v, p: m_off.apply(v, p, train=False))(variables, pts)
+    for k in ("batch_cls_preds", "batch_box_preds"):
+        np.testing.assert_array_equal(np.asarray(o_on[k]), np.asarray(o_off[k]))

@@ -381,3 +381,20 @@ class TestRoiPool:
             np.testing.assert_allclose(
                 pooled[r, :, 3:], feats[want], rtol=1e-6
             )
+
+
+class TestStackedFPSIdentity:
+    def test_fps_on_selection_ordered_set_is_identity_prefix(self):
+        """FPS over a D-FPS selection-ordered point set returns the
+        identity prefix [0..m) — the theorem behind the backbone's
+        FPS_IDENTITY_SHORTCUT (see iassd_backbone setup note)."""
+        from pdanet_tpu import ops
+
+        rng = np.random.RandomState(11)
+        xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 10)
+        idx = ops.sampling.farthest_point_sample(xyz, 128)
+        ordered = jnp.take_along_axis(xyz, np.asarray(idx)[..., None], axis=1)
+        for m in (1, 7, 64, 128):
+            got = np.asarray(ops.sampling.farthest_point_sample(ordered, m))
+            want = np.broadcast_to(np.arange(m, dtype=np.int32), (2, m))
+            np.testing.assert_array_equal(got, want)
