@@ -35,8 +35,20 @@ _BIG = 1e10  # python literal: jnp constants would be captured by the kernel
 # the per-step argmax dependency chain, not by pass count or loop
 # overhead): dynamic-sublane coordinate fetch instead of field-masked
 # sums, a (1, 128) row output buffer instead of the masked (P, 128)
-# rewrite, and manual loop unrolling (Mosaic lowers fori_loop only at
-# unroll 1/full).  16384->4096 sits at ~3.0 ms / ~740 ns a step.
+# rewrite, manual loop unrolling (Mosaic lowers fori_loop only at
+# unroll 1/full; an empty loop measures ~440 ns/step but unrolled bodies
+# are no faster -- the scalar loop control overlaps the vector chain),
+# and carrying the distance field as a fori_loop value instead of a
+# VMEM scratch.  16384->4096 sits at ~3.0 ms / ~740 ns a step.
+#
+# What DOES help at larger fields (R >= ~256) and in grouped mode: the
+# phase-split argmax below (_fps_kernel_v2) -- per-lane sublane
+# reductions first (column max / first-row / coordinate payloads), then
+# cheap (1, 128) lane-level finishes, instead of three serialized full
+# (R, 128) reductions.  ONCE 60000->16384: 28.4 -> 25.1 ms single,
+# 26.8 -> 23.0 ms grouped b2; KITTI b8 grouped 15.3 -> 14.2 ms.  At
+# R = 128 single-frame it is neutral, so the flat kernel stays the
+# default there.
 
 
 def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
@@ -77,6 +89,78 @@ def _fps_kernel(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
     jax.lax.fori_loop(1, npoint, body, 0, unroll=False)
 
 
+def _phase_split_select(t, xs, ys, zs, rowio, laneio, R, N):
+    """Argmax of `t` with lowest-linear-index tie-break + the winner's
+    coordinates, via sublane-then-lane reductions (shorter serial chain
+    than three full (R, 128) reductions when R is large).
+
+    Returns (bestlin, cx, cy, cz).
+    """
+    colmax = jnp.max(t, axis=0, keepdims=True)                    # (1, 128)
+    rsel = t >= colmax
+    colrow = jnp.min(jnp.where(rsel, rowio, R), axis=0, keepdims=True)
+    psel = rowio == colrow
+    colx = jnp.sum(jnp.where(psel, xs, 0.0), axis=0, keepdims=True)
+    coly = jnp.sum(jnp.where(psel, ys, 0.0), axis=0, keepdims=True)
+    colz = jnp.sum(jnp.where(psel, zs, 0.0), axis=0, keepdims=True)
+    m = jnp.max(colmax)
+    lsel = colmax >= m
+    collin = colrow * _LANES + laneio
+    bestlin = jnp.min(jnp.where(lsel, collin, N))
+    fsel = (collin == bestlin) & lsel
+    cx = jnp.sum(jnp.where(fsel, colx, 0.0))
+    cy = jnp.sum(jnp.where(fsel, coly, 0.0))
+    cz = jnp.sum(jnp.where(fsel, colz, 0.0))
+    return bestlin, cx, cy, cz
+
+
+def _fps_kernel_v2(npoint, xs_ref, ys_ref, zs_ref, out_ref, temp_ref):
+    """Phase-split variant for large fields (R >= ~256, e.g. ONCE 60k).
+
+    The selection step carries the winner's coordinates forward instead
+    of re-fetching them by index mask at the top of the next step, so
+    each step is: elementwise update -> sublane reductions -> (1, 128)
+    lane finishes.  Identical outputs to `_fps_kernel`.
+    """
+    R = xs_ref.shape[1]
+    N = R * _LANES
+    P = out_ref.shape[1]
+    rowio = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    laneio = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lin_out = jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 1)
+
+    temp_ref[:, :] = jnp.full((R, _LANES), _BIG, dtype=jnp.float32)
+    out_ref[0, :, :] = jnp.zeros((P, _LANES), dtype=jnp.int32)
+
+    xs = xs_ref[0, :, :]
+    ys = ys_ref[0, :, :]
+    zs = zs_ref[0, :, :]
+
+    def body(j, carry):
+        cx, cy, cz = carry
+        dx = xs - cx
+        dy = ys - cy
+        dz = zs - cz
+        d = dx * dx + dy * dy + dz * dz
+        t = jnp.minimum(temp_ref[:, :], d)
+        temp_ref[:, :] = t
+        bestlin, ncx, ncy, ncz = _phase_split_select(
+            t, xs, ys, zs, rowio, laneio, R, N
+        )
+        out_ref[0, :, :] = jnp.where(lin_out == j, bestlin, out_ref[0, :, :])
+        return (ncx, ncy, ncz)
+
+    # seed with point 0's coordinates (index 0 is always selected first)
+    sel0 = (rowio == 0) & (laneio == 0)
+    c0 = (
+        jnp.sum(jnp.where(sel0, xs, 0.0)),
+        jnp.sum(jnp.where(sel0, ys, 0.0)),
+        jnp.sum(jnp.where(sel0, zs, 0.0)),
+    )
+    jax.lax.fori_loop(1, npoint, body, c0, unroll=False)
+
+
 def _fps_kernel_grouped(npoint, G, xs_ref, ys_ref, zs_ref, out_ref,
                         temp_ref):
     """G frames per program, stepped side by side.
@@ -86,44 +170,55 @@ def _fps_kernel_grouped(npoint, G, xs_ref, ys_ref, zs_ref, out_ref,
     one loop body give the Mosaic scheduler G parallel dependency chains
     to interleave — batch throughput without touching the per-frame
     semantics (each frame's field/argmax/output is its own row block).
+    Uses the phase-split select (see `_phase_split_select`): 15.3 ->
+    14.2 ms at KITTI b8, 26.8 -> 23.0 ms at ONCE b2.
     """
     R = xs_ref.shape[1] // G
     N = R * _LANES
     P = out_ref.shape[1] // G
-    lin = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES + \
-        jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    rowio = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    laneio = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     lin_out = jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 0) * _LANES + \
         jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 1)
 
     temp_ref[:, :] = jnp.full((G * R, _LANES), _BIG, dtype=jnp.float32)
     out_ref[0, :, :] = jnp.zeros((G * P, _LANES), dtype=jnp.int32)
 
-    def body(j, lasts):
-        new_lasts = []
+    def frame(g):
+        return (xs_ref[0, g * R:(g + 1) * R, :],
+                ys_ref[0, g * R:(g + 1) * R, :],
+                zs_ref[0, g * R:(g + 1) * R, :])
+
+    def body(j, carrys):
+        new = []
         for g in range(G):
-            last = lasts[g]
-            sel = lin == last
-            xs = xs_ref[0, g * R:(g + 1) * R, :]
-            ys = ys_ref[0, g * R:(g + 1) * R, :]
-            zs = zs_ref[0, g * R:(g + 1) * R, :]
-            cx = jnp.sum(jnp.where(sel, xs, 0.0))
-            cy = jnp.sum(jnp.where(sel, ys, 0.0))
-            cz = jnp.sum(jnp.where(sel, zs, 0.0))
+            cx, cy, cz = carrys[g]
+            xs, ys, zs = frame(g)
             dx = xs - cx
             dy = ys - cy
             dz = zs - cz
             d = dx * dx + dy * dy + dz * dz
             t = jnp.minimum(temp_ref[g * R:(g + 1) * R, :], d)
             temp_ref[g * R:(g + 1) * R, :] = t
-            m = jnp.max(t)
-            best = jnp.min(jnp.where(t >= m, lin, N))
-            out_ref[0, g * P:(g + 1) * P, :] = jnp.where(
-                lin_out == j, best, out_ref[0, g * P:(g + 1) * P, :]
+            bestlin, ncx, ncy, ncz = _phase_split_select(
+                t, xs, ys, zs, rowio, laneio, R, N
             )
-            new_lasts.append(best)
-        return tuple(new_lasts)
+            out_ref[0, g * P:(g + 1) * P, :] = jnp.where(
+                lin_out == j, bestlin, out_ref[0, g * P:(g + 1) * P, :]
+            )
+            new.append((ncx, ncy, ncz))
+        return tuple(new)
 
-    jax.lax.fori_loop(1, npoint, body, (jnp.int32(0),) * G, unroll=False)
+    sel0 = (rowio == 0) & (laneio == 0)
+
+    def seed(g):
+        xs, ys, zs = frame(g)
+        return (jnp.sum(jnp.where(sel0, xs, 0.0)),
+                jnp.sum(jnp.where(sel0, ys, 0.0)),
+                jnp.sum(jnp.where(sel0, zs, 0.0)))
+
+    jax.lax.fori_loop(1, npoint, body, tuple(seed(g) for g in range(G)),
+                      unroll=False)
 
 
 @partial(jax.jit, static_argnames=("npoint", "group"))
@@ -182,6 +277,11 @@ def farthest_point_sample_pallas(xyz, npoint):
     running min-distance is pinned at 0 from the first selection (index 0
     is always picked first), so pads can never win the argmax and the
     sampled indices always reference real points.
+
+    Fields with R >= 256 rows (N >= 32768, e.g. ONCE 60k) route to the
+    phase-split kernel — the shorter reduction chain wins ~12% there and
+    is neutral at KITTI's R = 128 (kept on the flat kernel, which is the
+    headline-bench shape).
     """
     B, N, _ = xyz.shape
     pad = (-N) % _LANES
@@ -197,8 +297,9 @@ def farthest_point_sample_pallas(xyz, npoint):
     )
     xs, ys, zs = planes[:, 0], planes[:, 1], planes[:, 2]
 
+    kernel = _fps_kernel_v2 if R >= 256 else _fps_kernel
     out = pl.pallas_call(
-        partial(_fps_kernel, npoint),
+        partial(kernel, npoint),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0),
