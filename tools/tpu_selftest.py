@@ -28,8 +28,10 @@ def main():
 
     failures = []
 
-    # Pallas FPS == XLA FPS (several shapes incl. non-multiple-of-128 N)
-    for (B, N, m) in [(1, 1024, 256), (2, 4096, 512), (1, 3000, 128)]:
+    # Pallas FPS == XLA FPS (several shapes incl. non-multiple-of-128 N
+    # and one N >= 32768 to exercise the phase-split (v2) kernel route)
+    for (B, N, m) in [(1, 1024, 256), (2, 4096, 512), (1, 3000, 128),
+                      (1, 32768, 512)]:
         xyz = jax.random.normal(jax.random.PRNGKey(B * N), (B, N, 3)) * 10
         a = np.asarray(_farthest_point_sample_xla(xyz, m))
         b = np.asarray(farthest_point_sample_pallas(xyz, m))
