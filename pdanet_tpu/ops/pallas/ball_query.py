@@ -39,7 +39,13 @@ Tried and rejected: replacing the hierarchical k-th-hit extraction with
 full-rank counting (pos_k = #{n: rank_n < k}, K compare+reduce passes) —
 bit-identical but 1.3-3.6x SLOWER at every shipped shape (serial
 reduction latency dominates; the one-hot batched matmuls pipeline better
-on the MXU).
+on the MXU).  Also tried (2026-08-18): slicing the distance field into
+S-row strips merged in-kernel with the cross-chunk shift logic, to fit
+bigger (mb, nc) blocks and quarter the program count — (mb=256,
+nc=16384) still fails remote compile, and the working (mb=128,
+nc=16384, S=16) variant is bit-identical but ~1.5x SLOWER (the
+per-slice shift-merge matmuls outweigh the saved ~7 us/program fixed
+cost).  128 x 8192 with one whole-block prefix matmul stays optimal.
 """
 
 from functools import partial
