@@ -17,6 +17,7 @@ Parity notes:
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -113,6 +114,83 @@ class DensityNet(nn.Module):
         return x
 
 
+class _DenseGeneralParams(nn.Module):
+    """Parameter-only twin of one flax ``DenseGeneral`` inside
+    ``nn.MultiHeadDotProductAttention`` — same names ("kernel"/"bias"),
+    same shapes, and the same initialization (flax draws the kernel on the
+    FLAT (fan_in, fan_out) shape and reshapes, linear.py kernel_init_wrap),
+    so checkpoints and init streams are interchangeable with the flax
+    module.  The consumer reshapes the kernel flat itself — the point is
+    to run the projection as a 2-D matmul (see NeighborMHAPallas)."""
+
+    kshape: Sequence[int]
+    bshape: Sequence[int]
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        import numpy as np
+
+        fan_out = int(np.prod(self.kshape)) // self.fan_in
+
+        def kinit(rng, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(
+                rng, (self.fan_in, fan_out), dtype
+            )
+            return flat.reshape(shape)
+
+        kern = self.param("kernel", kinit, tuple(self.kshape))
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), tuple(self.bshape)
+        )
+        return kern, bias
+
+
+class NeighborMHAPallas(nn.Module):
+    """Self-attention over K neighbors with the fused Pallas core.
+
+    Drop-in for ``nn.MultiHeadDotProductAttention(x, x)`` with an IDENTICAL
+    parameter tree, but every tensor between the input and the output stays
+    in the flat (rows, lanes) layout: q/k/v projections are plain 2-D
+    matmuls into (R, H*hd), the Pallas kernel consumes/produces that layout
+    directly, and the out projection is another 2-D matmul.  flax's version
+    materializes (..., K, H, hd) tensors whose trailing (H, hd) dims XLA
+    tiles to (8, 128) — with hd=64 that is 4x padding and ~0.1 ms of copy
+    per tensor at KITTI shapes (device trace, 2026-08-18)."""
+
+    num_heads: int
+    qkv_features: int
+    dtype: Optional[Any] = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas.attention import neighbor_attention_flat
+
+        B, M, K, D = x.shape
+        H = self.num_heads
+        hd = self.qkv_features // H
+        dt = self.dtype or x.dtype
+        x2 = x.reshape(-1, D).astype(dt)
+        qkv = []
+        for nm in ("query", "key", "value"):
+            kern, bias = _DenseGeneralParams(
+                (D, H, hd), (H, hd), fan_in=D, name=nm
+            )()
+            qkv.append(
+                x2 @ kern.reshape(D, H * hd).astype(dt)
+                + bias.reshape(H * hd).astype(dt)
+            )
+        core = neighbor_attention_flat(
+            *qkv, K=K, H=H, hd=hd, interpret=self.interpret
+        )
+        kern, bias = _DenseGeneralParams(
+            (H, hd, D), (D,), fan_in=H * hd, name="out"
+        )()
+        out = core @ kern.reshape(H * hd, D).astype(dt) + bias.astype(dt)
+        return out.reshape(B, M, K, D)
+
+
 class TransformerEncoderLayerPreNorm(nn.Module):
     """Pre-norm self-attention over the K neighbors of each center.
 
@@ -122,27 +200,71 @@ class TransformerEncoderLayerPreNorm(nn.Module):
 
     Quirk preserved: ``src = norm1(src); src = src + attn(src)`` — the
     residual base is the *normalized* tensor.
+
+    At eval on TPU the attention runs ``NeighborMHAPallas`` (same params,
+    fused Pallas core, everything flat); training and other backends keep
+    flax's differentiable einsum path.  ``attention_impl`` (or env
+    ``PDANET_ATTENTION_IMPL``) forces a path: "flax", "pallas_interpret"
+    (CPU oracle tests), or None = auto.
     """
 
     d_model: int
     nhead: int
     dim_feedforward: int
     dtype: Optional[Any] = None
+    attention_impl: Optional[str] = None
+
+    def _pallas_impl(self, train: bool, K: int):
+        """Returns None (use flax) or an interpret flag for the kernel."""
+        import os
+
+        from ..ops.pallas import attention as pallas_attn
+
+        impl = self.attention_impl or os.environ.get("PDANET_ATTENTION_IMPL")
+        if impl == "flax" or self.d_model % self.nhead:
+            return None
+        if not pallas_attn.supported_shape(
+            K, self.nhead, self.d_model // self.nhead
+        ):
+            return None
+        if impl == "pallas_interpret":
+            return {"interpret": True}
+        if impl == "pallas":  # force (perf probes), bypasses profitability
+            return {"interpret": False}
+        if (
+            not train
+            and jax.default_backend() == "tpu"
+            and pallas_attn.profitable_shape(
+                K, self.nhead, self.d_model // self.nhead
+            )
+        ):
+            return {"interpret": False}
+        return None
 
     @nn.compact
     def __call__(self, x, train: bool):
         dt = _infer_dtype(self.dtype, train)
         ln_dt = _norm_dtype(self.dtype, train)
         # x: (B, M, K, D)
+        pallas = self._pallas_impl(train, x.shape[-2])
         x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1")(x)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            use_bias=True,
-            dtype=dt,
-            name="self_attn",
-        )(x, x)
+        if pallas is not None:
+            attn = NeighborMHAPallas(
+                num_heads=self.nhead,
+                qkv_features=self.d_model,
+                dtype=dt,
+                name="self_attn",
+                **pallas,
+            )(x)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead,
+                qkv_features=self.d_model,
+                out_features=self.d_model,
+                use_bias=True,
+                dtype=dt,
+                name="self_attn",
+            )(x, x)
         x = x + attn
         x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm2")(x)
         h = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(x)

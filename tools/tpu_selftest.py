@@ -120,6 +120,27 @@ def main():
     if not ok:
         failures.append("ball_query_multichunk")
 
+    # Fused neighbor attention vs flax's einsum core, compiled on-chip
+    # (the pytest oracle runs interpret mode only; Mosaic lowering of the
+    # lane-masked per-head contraction is what this validates)
+    from pdanet_tpu.ops.pallas.attention import neighbor_attention
+
+    for (batch, K, H, hd) in [((1, 1024), 16, 4, 64), ((1, 512), 32, 4, 64),
+                              ((1, 512), 32, 4, 128)]:
+        import flax.linen as flax_nn
+
+        ks = jax.random.split(jax.random.PRNGKey(K * hd), 3)
+        shape = batch + (K, H, hd)
+        q, k, v = (jax.random.normal(kk, shape) for kk in ks)
+        want = np.asarray(flax_nn.dot_product_attention(q, k, v))
+        got = np.asarray(neighbor_attention(q, k, v))
+        err = float(np.abs(got - want).max())
+        ok = err < 1e-4
+        print(f"neighbor attention vs flax (K={K}, H={H}, hd={hd}): "
+              f"max err {err:.2e} {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append("attention")
+
     # Pallas kernels under grad: one tiny fused train step on-device.
     # Regression guard for AD tracing through the Pallas dispatch sites
     # (the kernels emit discrete indices behind stop_gradient; without it
