@@ -165,7 +165,7 @@ class NeighborMHAPallas(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.pallas.attention import neighbor_attention_flat
+        from ..ops.pallas.attention import neighbor_attention_flat_trainable
 
         B, M, K, D = x.shape
         H = self.num_heads
@@ -181,8 +181,9 @@ class NeighborMHAPallas(nn.Module):
                 x2 @ kern.reshape(D, H * hd).astype(dt)
                 + bias.reshape(H * hd).astype(dt)
             )
-        core = neighbor_attention_flat(
-            *qkv, K=K, H=H, hd=hd, interpret=self.interpret
+        # positional: custom_vjp (fused Pallas backward) rejects kwargs
+        core = neighbor_attention_flat_trainable(
+            *qkv, K, H, hd, self.interpret
         )
         kern, bias = _DenseGeneralParams(
             (H, hd, D), (D,), fan_in=H * hd, name="out"

@@ -28,9 +28,12 @@ entirely in VMEM:
 
 The grid streams row blocks (default 1024 rows = 32-64 centers) with the
 128-row tile loop unrolled inside each program, so per-program fixed costs
-amortize.  Wired in as ``nn.MultiHeadDotProductAttention(attention_fn=...)``
-at **eval on TPU only** — training keeps flax's differentiable path (the
-kernel carries no VJP), and parity is oracle-tested in interpret mode.
+amortize.  ``neighbor_attention_flat_trainable`` adds a fused Pallas VJP
+(softmax recomputed in-kernel) so training can use the kernel too; the
+module-level auto dispatch (models/blocks.py `_pallas_impl`) currently
+enables it at **eval on TPU** where profitability is measured, with train
+selectable via ``PDANET_ATTENTION_IMPL=pallas``.  Parity (forward and
+grads) is oracle-tested in interpret mode.
 """
 
 import math
@@ -83,6 +86,86 @@ def _attn_kernel(K, hd, n_sub, q_ref, k_ref, v_ref, o_ref):
                     preferred_element_type=jnp.float32,
                 )
             o_ref[r, c] = acc.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(K, hd, n_sub, q_ref, k_ref, v_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref):
+    """Gradient twin of :func:`_attn_kernel` — same blocking, recomputes the
+    softmax (cheaper than storing (rows, 128) probability panels in HBM) and
+    emits dq/dk/dv in the flat layout.  Per head the standard identities:
+
+        dV = P^T dO,   dP = dO V^T,   dS = P * (dP - rowsum(dP * P)),
+        dQ = scale * dS K,   dK = scale * dS^T Q.
+
+    Off-block entries of P are exactly 0 (exp(-1e9 - max) underflows), so
+    every cross-center term vanishes without extra masking; with two heads
+    per 128-lane panel the dK/dV panels are lane-masked per head (q and dO
+    enter unmasked, so their foreign-lane products must not accumulate)."""
+    D = q_ref.shape[1]
+    scale = 1.0 / math.sqrt(hd)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    blk = (ri // K) == (ci // K)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    heads_per_panel = _LANES // hd
+    for s in range(n_sub):
+        r = slice(s * _LANES, (s + 1) * _LANES)
+        for p in range(D // _LANES):
+            c = slice(p * _LANES, (p + 1) * _LANES)
+            qp = q_ref[r, c]
+            kp = k_ref[r, c]
+            vp = v_ref[r, c]
+            dop = do_ref[r, c]
+            qs = qp * jnp.asarray(scale, qp.dtype)
+            dq_acc = jnp.zeros((_LANES, _LANES), jnp.float32)
+            dk_acc = jnp.zeros((_LANES, _LANES), jnp.float32)
+            dv_acc = jnp.zeros((_LANES, _LANES), jnp.float32)
+            for h in range(heads_per_panel):
+                if heads_per_panel == 1:
+                    kh, vh = kp, vp
+                    lm = None
+                else:
+                    lm = (lane >= h * hd) & (lane < (h + 1) * hd)
+                    kh = jnp.where(lm, kp, jnp.zeros_like(kp))
+                    vh = jnp.where(lm, vp, jnp.zeros_like(vp))
+                sc = jax.lax.dot_general(
+                    qs, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sc = jnp.where(blk, sc, _NEG)
+                sc = sc - jnp.max(sc, axis=1, keepdims=True)
+                e = jnp.exp(sc)
+                prob = e / jnp.sum(e, axis=1, keepdims=True)
+                pl_ = prob.astype(vp.dtype)
+                # dV = P^T dO  (contract rows; foreign dO lanes masked below)
+                dv_h = jax.lax.dot_general(
+                    pl_, dop, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dP = dO V^T  (v lane-masked -> foreign dO lanes drop out)
+                dp = jax.lax.dot_general(
+                    dop, vh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = prob * (dp - jnp.sum(dp * prob, axis=1, keepdims=True))
+                dss = (ds * scale).astype(qp.dtype)
+                dq_acc = dq_acc + jax.lax.dot_general(
+                    dss, kh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # kh masked -> dq foreign lanes already zero
+                dk_h = jax.lax.dot_general(
+                    dss, qp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if lm is None:
+                    dk_acc = dk_acc + dk_h
+                    dv_acc = dv_acc + dv_h
+                else:
+                    dk_acc = dk_acc + jnp.where(lm, dk_h, 0.0)
+                    dv_acc = dv_acc + jnp.where(lm, dv_h, 0.0)
+            dq_ref[r, c] = dq_acc.astype(dq_ref.dtype)
+            dk_ref[r, c] = dk_acc.astype(dk_ref.dtype)
+            dv_ref[r, c] = dv_acc.astype(dv_ref.dtype)
 
 
 def supported_shape(K, H, hd):
@@ -154,6 +237,67 @@ def neighbor_attention_flat(q2, k2, v2, K, H, hd, interpret=False,
         interpret=interpret,
     )(q2, k2, v2)
     return out[:R]
+
+
+@partial(jax.jit,
+         static_argnames=("K", "H", "hd", "interpret", "block_rows"))
+def _neighbor_attention_flat_bwd(q2, k2, v2, do2, K, H, hd, interpret=False,
+                                 block_rows=1024):
+    """dq/dk/dv of :func:`neighbor_attention_flat` (one fused kernel).
+    Padding rows carry zero cotangents, so their gradients are exactly
+    zero and the [:R] slice below loses nothing."""
+    R, D = q2.shape
+    assert D == H * hd and R % K == 0 and do2.shape == q2.shape
+    Rp = -(-R // _LANES) * _LANES
+    if Rp != R:
+        pad = ((0, Rp - R), (0, 0))
+        q2, k2, v2, do2 = (jnp.pad(a, pad) for a in (q2, k2, v2, do2))
+    TR = block_rows
+    while Rp % TR:
+        TR //= 2
+    n_sub = TR // _LANES
+    spec = pl.BlockSpec((TR, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_attn_bwd_kernel, K, hd, n_sub),
+        grid=(Rp // TR,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Rp, D), q2.dtype)] * 3,
+        interpret=interpret,
+    )(q2, k2, v2, do2)
+    return tuple(o[:R] for o in outs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def neighbor_attention_flat_trainable(q2, k2, v2, K, H, hd, interpret=False,
+                                      block_rows=1024):
+    """:func:`neighbor_attention_flat` with a fused Pallas VJP — the forward
+    is byte-identical; under ``jax.grad`` the backward runs
+    :func:`_attn_bwd_kernel` (softmax recomputed in-kernel, dq/dk/dv emitted
+    in the flat layout) instead of XLA differentiating the einsum form.
+    custom_vjp demands positional arguments."""
+    return neighbor_attention_flat(
+        q2, k2, v2, K=K, H=H, hd=hd,
+        interpret=interpret, block_rows=block_rows,
+    )
+
+
+def _nat_fwd(q2, k2, v2, K, H, hd, interpret, block_rows):
+    out = neighbor_attention_flat(
+        q2, k2, v2, K=K, H=H, hd=hd,
+        interpret=interpret, block_rows=block_rows,
+    )
+    return out, (q2, k2, v2)
+
+
+def _nat_bwd(K, H, hd, interpret, block_rows, res, g):
+    return _neighbor_attention_flat_bwd(
+        *res, g, K=K, H=H, hd=hd,
+        interpret=interpret, block_rows=block_rows,
+    )
+
+
+neighbor_attention_flat_trainable.defvjp(_nat_fwd, _nat_bwd)
 
 
 def neighbor_attention(q, k, v, interpret=False, block_rows=1024):

@@ -36,6 +36,7 @@ class TestNeighborAttentionKernel:
             ((2, 12), 16, 4, 64, 1024),   # layer-1 geometry (d_model 256)
             ((1, 8), 32, 4, 128, 1024),   # layer-2 geometry (d_model 512)
             ((2, 16), 32, 4, 128, 256),   # multi-program grid, n_sub=2
+            ((2, 12), 16, 4, 32, 1024),   # d_model 128: 4 heads per panel
             ((1, 3), 16, 4, 64, 1024),    # R=48: fake-center padding path
             ((4,), 8, 2, 64, 128),        # single-dim batch, K=8
         ],
@@ -83,6 +84,74 @@ class TestNeighborAttentionKernel:
         assert profitable_shape(32, 4, 64)
         assert not profitable_shape(16, 4, 128)
         assert not profitable_shape(32, 4, 128)
+
+
+class TestNeighborAttentionGrads:
+    """Op- and module-level VJP parity vs flax autodiff.
+
+    These ARE the gradient ground truth for the kernel: full-MODEL grad
+    comparisons are chaotic at random weights (measured 2026-08-18: a 1e-6
+    perturbation of one weight on the pure-flax path moves the full-model
+    grad-max by ~130 while the loss moves <1e-5 — discrete ctr-aware
+    sampling / target-assignment ties flip on fp noise), so end-to-end
+    validation asserts loss equality instead (the verify drive does)."""
+    @pytest.mark.parametrize(
+        "batch,K,H,hd",
+        [
+            ((2, 12), 16, 4, 64),   # two heads per lane panel
+            ((1, 8), 32, 4, 128),   # one head per panel
+            ((2, 12), 16, 4, 32),   # d_model 128: four heads per panel
+            ((1, 3), 16, 4, 64),    # R=48: fake-center padding path
+        ],
+    )
+    def test_vjp_matches_flax_grads(self, batch, K, H, hd):
+        from pdanet_tpu.ops.pallas.attention import (
+            neighbor_attention_flat_trainable,
+        )
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(8), batch, K, H, hd)
+        D = H * hd
+        q2, k2, v2 = (a.reshape(-1, D) for a in (q, k, v))
+        w = jax.random.normal(jax.random.PRNGKey(9), q2.shape)
+
+        def f_ref(a, b, c):
+            o = nn.dot_product_attention(
+                a.reshape(q.shape), b.reshape(q.shape), c.reshape(q.shape)
+            )
+            return jnp.sum(o.reshape(-1, D) * w)
+
+        def f_ker(a, b, c):
+            o = neighbor_attention_flat_trainable(a, b, c, K, H, hd, True)
+            return jnp.sum(o * w)
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q2, k2, v2)
+        g_ker = jax.grad(f_ker, argnums=(0, 1, 2))(q2, k2, v2)
+        for got, want in zip(g_ker, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+            )
+
+    def test_module_train_grads_match_flax(self):
+        """Full-layer parameter gradients through the Pallas VJP equal the
+        flax einsum path's (shared params, train mode)."""
+        x = jax.random.normal(jax.random.PRNGKey(10), (2, 6, 16, 256))
+        mk = lambda impl: TransformerEncoderLayerPreNorm(
+            d_model=256, nhead=4, dim_feedforward=128, attention_impl=impl
+        )
+        params = mk("flax").init(jax.random.PRNGKey(11), x, train=True)
+
+        def loss(impl, p):
+            out = mk(impl).apply(p, x, train=True)
+            return jnp.sum(out * out)
+
+        g_ref = jax.grad(lambda p: loss("flax", p))(params)
+        g_ker = jax.grad(lambda p: loss("pallas_interpret", p))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            ),
+            g_ker, g_ref,
+        )
 
 
 class TestModuleWiring:

@@ -141,6 +141,42 @@ def main():
         if not ok:
             failures.append("attention")
 
+    # Fused attention VJP (Mosaic lowering of the backward kernel): grads
+    # of a scalar loss through the trainable wrapper vs flax's einsum path
+    from pdanet_tpu.ops.pallas.attention import (
+        neighbor_attention_flat_trainable,
+    )
+
+    for (R, K, H, hd) in [(1024 * 16, 16, 4, 64), (512 * 32, 32, 4, 128)]:
+        import flax.linen as flax_nn
+
+        D = H * hd
+        ks = jax.random.split(jax.random.PRNGKey(R + hd), 4)
+        q2, k2, v2, w = (jax.random.normal(kk, (R, D)) for kk in ks)
+
+        def f_ker(a, b, c):
+            return jnp.sum(
+                neighbor_attention_flat_trainable(a, b, c, K, H, hd) * w
+            )
+
+        def f_ref(a, b, c):
+            sh = (R // K, K, H, hd)
+            o = flax_nn.dot_product_attention(
+                a.reshape(sh), b.reshape(sh), c.reshape(sh)
+            )
+            return jnp.sum(o.reshape(R, D) * w)
+
+        g_ker = jax.jit(jax.grad(f_ker, argnums=(0, 1, 2)))(q2, k2, v2)
+        g_ref = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(q2, k2, v2)
+        err = max(
+            float(jnp.abs(a - b).max()) for a, b in zip(g_ker, g_ref)
+        )
+        ok = err < 1e-3
+        print(f"neighbor attention VJP vs flax (K={K}, H={H}, hd={hd}): "
+              f"max err {err:.2e} {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append("attention_vjp")
+
     # Pallas kernels under grad: one tiny fused train step on-device.
     # Regression guard for AD tracing through the Pallas dispatch sites
     # (the kernels emit discrete indices behind stop_gradient; without it
