@@ -198,19 +198,29 @@ def test_converter_roundtrip_tiny_config():
     assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
 
 
-def test_transformer_layer_torch_activation_parity():
+@pytest.mark.parametrize(
+    "d_model,impl",
+    [
+        (32, None),                 # flax path (hd=8: kernel-ineligible)
+        (128, "pallas_interpret"),  # fused-kernel path on converted weights
+    ],
+)
+def test_transformer_layer_torch_activation_parity(d_model, impl):
     """Numerical ground truth for the PDA transformer block AND the
     converter's MultiheadAttention mapping: a reference-shaped torch
     pre-norm layer (PointFormer.py:7-39 — norm1 -> self_attn -> residual
     on the NORMALIZED input -> norm2 -> FFN residual) is run on random
     data, its state_dict converted via ``convert_transformer_layer``, and
-    the flax block must reproduce the activations."""
+    the flax block must reproduce the activations.  The d_model=128 case
+    drives the SAME converted checkpoint through the Pallas attention
+    route (ops/pallas/attention.py) — torch ground truth for the kernel
+    path, not just flax-vs-flax."""
     torch = pytest.importorskip("torch")
     from ckpt_converter import TorchTree, convert_transformer_layer
 
     from pdanet_tpu.models.blocks import TransformerEncoderLayerPreNorm
 
-    d_model, nhead, dim_ff, K, tokens = 32, 4, 64, 16, 6
+    nhead, dim_ff, K, tokens = 4, 64, 16, 6
     torch.manual_seed(0)
 
     class RefPreNorm(torch.nn.Module):
@@ -240,7 +250,8 @@ def test_transformer_layer_torch_activation_parity():
     params = convert_transformer_layer(TorchTree(sd), d_model, nhead)
 
     blk = TransformerEncoderLayerPreNorm(
-        d_model=d_model, nhead=nhead, dim_feedforward=dim_ff)
+        d_model=d_model, nhead=nhead, dim_feedforward=dim_ff,
+        attention_impl=impl)
     # flax layout: (B, M, K, C); tokens axis = K
     x_jax = jnp.asarray(x.numpy().transpose(1, 0, 2))[None]  # (1, tokens, K, C)
     y = np.asarray(blk.apply(
