@@ -131,7 +131,17 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz):
     Returns:
         tuple of (B, M, nsample_i) int32 index tensors.
     """
-    if jax.default_backend() == "tpu":
+    import os
+
+    impl = os.environ.get("PDANET_BALLQUERY_IMPL")
+    if impl == "grid":  # probe/opt-in: grid-hash candidates (same outputs)
+        from .grid_ball_query import ball_query_multi_grid
+
+        return ball_query_multi_grid(
+            tuple(radii), tuple(nsamples),
+            jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(new_xyz),
+        )
+    if jax.default_backend() == "tpu" and impl != "xla":
         from .pallas.ball_query import ball_query_multi_pallas
 
         # index outputs carry no tangents; stop_gradient keeps AD from
