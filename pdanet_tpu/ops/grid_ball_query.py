@@ -60,7 +60,20 @@ def _cell_keys(xyz, side):
     return rel, keys, (dy, dz), mins
 
 
-def _grid_one(radii, nsamples, cap, xyz, new_xyz):
+def _first_k_smallest(prio, nsample, sentinel):
+    """First-K hits by VALUE order (smallest original indices) with the
+    CUDA first-hit/zero-hit padding — equivalent to sorting the candidate
+    row and running the positional selector, but via one ``lax.top_k`` of
+    size K instead of a full 27*cap-wide row sort."""
+    neg = sentinel - prio  # invalid (prio == sentinel) -> 0, never top-K'd
+    top, _ = jax.lax.top_k(neg, nsample)  # descending neg = ascending prio
+    vals = sentinel - top
+    valid = vals < sentinel
+    fill = jnp.where(valid[..., 0:1], vals[..., 0:1], 0)
+    return jnp.where(valid, vals, fill)
+
+
+def _grid_one(radii, nsamples, cap, selector, xyz, new_xyz):
     """Single-cloud grid ball query. xyz (N, 3), new_xyz (M, 3)."""
     N = xyz.shape[0]
     M = new_xyz.shape[0]
@@ -90,11 +103,15 @@ def _grid_one(radii, nsamples, cap, xyz, new_xyz):
     cand = order[spos.reshape(M, -1)]  # (M, 27*cap) original indices
     cvalid = svalid.reshape(M, -1)
 
-    # restore CUDA scan order: sort candidates by original index (invalid
-    # slots pushed to the end with sentinel N)
     prio0 = jnp.where(cvalid, cand, jnp.int32(N))
-    prio_sorted = jax.lax.sort(prio0, dimension=-1)
-    safe = jnp.minimum(prio_sorted, N - 1)
+    if selector == "sort":
+        # restore CUDA scan order up front: sort candidates by original
+        # index (invalid slots pushed to the end with sentinel N), then the
+        # positional first-K selector runs unchanged
+        cidx = jax.lax.sort(prio0, dimension=-1)
+    else:  # "topk": leave candidates in bucket order; select by value
+        cidx = prio0
+    safe = jnp.minimum(cidx, N - 1)
     pts = xyz[safe]  # (M, 27*cap, 3)
 
     # same component-wise f32 arithmetic as the dense path
@@ -106,14 +123,19 @@ def _grid_one(radii, nsamples, cap, xyz, new_xyz):
     outs = []
     for radius, nsample in zip(radii, nsamples):
         r2 = jnp.float32(radius * radius)
-        hit = (d2 < r2) & (prio_sorted < N)
-        prio = jnp.where(hit, prio_sorted, jnp.int32(N))
-        outs.append(_select(prio, nsample, N).astype(jnp.int32))
+        hit = (d2 < r2) & (cidx < N)
+        prio = jnp.where(hit, cidx, jnp.int32(N))
+        if selector == "sort":
+            sel = _select(prio, nsample, N)
+        else:
+            sel = _first_k_smallest(prio, nsample, N)
+        outs.append(sel.astype(jnp.int32))
     return tuple(outs), overflow
 
 
-@partial(jax.jit, static_argnames=("radii", "nsamples", "cap"))
-def ball_query_multi_grid(radii, nsamples, xyz, new_xyz, cap=64):
+@partial(jax.jit, static_argnames=("radii", "nsamples", "cap", "selector"))
+def ball_query_multi_grid(radii, nsamples, xyz, new_xyz, cap=64,
+                          selector="topk"):
     """Grid-hash multi-radius ball query with dense-path fallback.
 
     Args:
@@ -122,6 +144,10 @@ def ball_query_multi_grid(radii, nsamples, xyz, new_xyz, cap=64):
         cap: static per-bucket candidate budget.  Any queried-window bucket
             exceeding it triggers the exact dense fallback for the whole
             call (lax.cond, data-dependent).
+        selector: "topk" (default) selects the first-K hits by smallest
+            original index via one K-deep ``lax.top_k`` per radius; "sort"
+            sorts the candidate row by index once and reuses the
+            positional hierarchical selector.  Identical outputs.
     Returns:
         tuple of (B, M, nsample_i) int32, bit-identical to
         ``ops.ball_query._ball_query_multi_xla``.
@@ -129,7 +155,7 @@ def ball_query_multi_grid(radii, nsamples, xyz, new_xyz, cap=64):
     radii = tuple(radii)
     nsamples = tuple(nsamples)
 
-    grid = jax.vmap(partial(_grid_one, radii, nsamples, cap))
+    grid = jax.vmap(partial(_grid_one, radii, nsamples, cap, selector))
     outs, overflow = grid(xyz, new_xyz)
     any_overflow = jnp.any(overflow)
 

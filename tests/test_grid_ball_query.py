@@ -17,11 +17,15 @@ from pdanet_tpu.ops.grid_ball_query import ball_query_multi_grid
 
 def _assert_same(radii, nsamples, xyz, new_xyz, cap=64):
     want = _ball_query_multi_xla(tuple(radii), tuple(nsamples), xyz, new_xyz)
-    got = ball_query_multi_grid(
-        tuple(radii), tuple(nsamples), xyz, new_xyz, cap=cap
-    )
-    for g, w in zip(got, want):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    for selector in ("topk", "sort"):
+        got = ball_query_multi_grid(
+            tuple(radii), tuple(nsamples), xyz, new_xyz, cap=cap,
+            selector=selector,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=selector
+            )
 
 
 class TestGridBallQuery:

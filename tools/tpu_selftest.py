@@ -120,6 +120,29 @@ def main():
     if not ok:
         failures.append("ball_query_multichunk")
 
+    # Grid-hash ball query on-chip: multi-radius parity vs the dense
+    # oracle (both the grid branch and, via a tiny cap, the lax.cond
+    # dense-fallback branch as compiled for TPU)
+    from pdanet_tpu.ops.grid_ball_query import ball_query_multi_grid
+
+    xyz = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(10), (2, 4096, 3)) * 10
+    )
+    centers = xyz[:, ::4][:, :512]
+    for cap, tag in [(64, "grid"), (1, "grid-fallback")]:
+        got1, got2 = ball_query_multi_grid(
+            (0.8, 1.6), (8, 16), jnp.asarray(xyz), jnp.asarray(centers),
+            cap=cap,
+        )
+        ok = np.array_equal(
+            np.asarray(got1), ball_query_oracle(0.8, 8, xyz, centers)
+        ) and np.array_equal(
+            np.asarray(got2), ball_query_oracle(1.6, 16, xyz, centers)
+        )
+        print(f"ball query ({tag}) vs oracle: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append(f"ball_query_{tag}")
+
     # Fused neighbor attention vs flax's einsum core, compiled on-chip
     # (the pytest oracle runs interpret mode only; Mosaic lowering of the
     # lane-masked per-head contraction is what this validates)
