@@ -291,9 +291,12 @@ def _nat_fwd(q2, k2, v2, K, H, hd, interpret, block_rows):
 
 
 def _nat_bwd(K, H, hd, interpret, block_rows, res, g):
+    # 7 block tensors live in VMEM (q/k/v/do/dq/dk/dv) vs the forward's 4;
+    # halve the row block so the backward stays inside the same ~4-6 MB
+    # scoped-VMEM budget the ball-query kernel measured on v5e
     return _neighbor_attention_flat_bwd(
         *res, g, K=K, H=H, hd=hd,
-        interpret=interpret, block_rows=block_rows,
+        interpret=interpret, block_rows=max(block_rows // 2, _LANES),
     )
 
 
