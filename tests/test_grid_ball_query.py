@@ -99,6 +99,22 @@ class TestGridBallQuery:
         new_xyz = xyz[:, :50]
         _assert_same((1.2,), (12,), xyz, new_xyz)
 
+    def test_fuzz_seed_sweep(self):
+        """Randomized sweep over cloud shapes, scales, offsets and radii —
+        every draw must match the dense path exactly (hunts cell-key
+        collision and window-margin corner cases)."""
+        # radii/shapes are static args — reuse ONE jit by drawing the
+        # geometry (scale/offset/duplication) per seed, not the signature
+        for seed in range(10):
+            ks = jax.random.split(jax.random.PRNGKey(100 + seed), 4)
+            scale = float(jax.random.uniform(ks[0], (), minval=0.3, maxval=40))
+            off = jax.random.uniform(ks[1], (3,), minval=-100, maxval=100)
+            n = int(jax.random.randint(ks[2], (), 64, 384))
+            xyz = jax.random.normal(ks[3], (1, 384, 3)) * scale + off
+            xyz = xyz.at[:, n:].set(xyz[:, :1])  # duplicate-pad tail
+            new_xyz = xyz[:, :96]
+            _assert_same((1.0, 2.0), (4, 8), xyz, new_xyz, cap=16)
+
     def test_kitti_like_scale(self):
         """KITTI L0 geometry (shrunk 4x): 4096-pt cloud, 1024 centers, the
         shipped radii/nsamples."""
