@@ -1,6 +1,19 @@
 """Grid-hash ball query: O(M * 27C) candidates instead of the O(M * N)
 distance field.
 
+ON-CHIP VERDICT (v5e shootout, 2026-08-19 — see docs/STATUS.md): this
+formulation LOSES to the dense Pallas kernel at every shipped geometry,
+by 15-100x (e.g. KITTI L0 132 vs 2.3 ms; ONCE L1 361 vs 3.9 ms), and the
+ONCE L0 instance (M=16384, 27*64 candidate slots) fails TPU compilation
+outright.  The costs the O-analysis ignored dominate on TPU: the
+(M, 27*cap, 3) candidate gather is a giant dynamic-index load the VPU
+serializes, the per-center searchsorted/sort trees don't vectorize across
+the lane axis, and the dense kernel it was meant to beat streams its
+distance field through VMEM at near VPU speed-of-light.  Kept as an
+opt-in (``PDANET_BALLQUERY_IMPL=grid``) oracle-tested negative result so
+the approach is not re-tried; it may still win on CPU-class backends
+where the dense O(M*N) field blows cache.
+
 The dense formulations (ops/ball_query.py XLA path, ops/pallas/ball_query.py
 TPU kernel) evaluate every (center, point) pair — at ONCE L0 scale
 (16384 x 60000 x B) that is the single most expensive op in the forward
