@@ -60,6 +60,25 @@ class DataProcessor:
             data_dict["points"] = points[shuffle_idx]
         return data_dict
 
+    def sort_points(self, data_dict=None, config=None):
+        """Spatially order the cloud (sort by x) — TPU-specific step with
+        no reference counterpart.  Point order is semantically free (the
+        reference itself randomizes it via ``shuffle_points``); a sorted
+        order makes the support chunks of the streamed Pallas ball query
+        spatially tight, so its AABB chunk-skip test fires (6.6x at the
+        ONCE L0 query).  Runs after shuffle/sample so it is the final
+        order; training stochasticity survives in ``sample_points``'s
+        random subsample and the world augmentations.  Stable sort keeps
+        duplicate-coordinate points in prior order (deterministic)."""
+        if data_dict is None:
+            return partial(self.sort_points, config=config)
+        enabled = config.get("ENABLED", {"train": True, "test": True})
+        if enabled[self.mode]:
+            points = data_dict["points"]
+            order = np.argsort(points[:, 0], kind="stable")
+            data_dict["points"] = points[order]
+        return data_dict
+
     def sample_points(self, data_dict=None, config=None):
         """Fixed point budget with near(<40 m)/far split (reference
         :187-217) — pad-by-duplicate when short.  This is what makes every

@@ -221,6 +221,11 @@ def neighbor_attention_flat(q2, k2, v2, K, H, hd, interpret=False,
         k2 = jnp.pad(k2, pad)
         v2 = jnp.pad(v2, pad)
     TR = block_rows
+    # scoped-VMEM ceiling (measured on v5e 2026-08-19): at D=512 (hd=128)
+    # a 1024-row block compiles to 16.18 MB of stack — 184K over the 16 MB
+    # limit.  Scale the block so TR*D stays at the D=256 optimum's budget.
+    while TR * D > 1024 * 256 and TR > _LANES:
+        TR //= 2
     while Rp % TR:
         TR //= 2
     n_sub = TR // _LANES
@@ -253,6 +258,10 @@ def _neighbor_attention_flat_bwd(q2, k2, v2, do2, K, H, hd, interpret=False,
         pad = ((0, Rp - R), (0, 0))
         q2, k2, v2, do2 = (jnp.pad(a, pad) for a in (q2, k2, v2, do2))
     TR = block_rows
+    # same scoped-VMEM scaling as the forward; the caller already halved
+    # block_rows for the backward's 7-vs-4 block tensors
+    while TR * D > 1024 * 256 and TR > _LANES:
+        TR //= 2
     while Rp % TR:
         TR //= 2
     n_sub = TR // _LANES

@@ -425,6 +425,28 @@ def test_once_point_painting_matches_grid_sample(once_root):
     assert item["points"].shape[1] == 10
 
 
+def test_sort_points_processor():
+    """``sort_points`` (TPU-specific, no reference counterpart) emits the
+    same point set ordered by x, honoring the per-mode ENABLED switch."""
+    from pdanet_tpu.datasets.processor.data_processor import DataProcessor
+
+    pcr = np.asarray([0, -8, -3, 16, 8, 1], np.float32)
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(0, 16, (64, 4)).astype(np.float32)
+    cfg = EasyDict(
+        {"NAME": "sort_points", "ENABLED": {"train": True, "test": False}}
+    )
+    dp = DataProcessor([cfg], pcr, training=True, num_point_features=4)
+    out = dp.forward({"points": pts.copy()})["points"]
+    assert (np.diff(out[:, 0]) >= 0).all()
+    np.testing.assert_array_equal(
+        np.sort(out, axis=0), np.sort(pts, axis=0)
+    )  # permutation, nothing dropped
+    dp_eval = DataProcessor([cfg], pcr, training=False, num_point_features=4)
+    out_eval = dp_eval.forward({"points": pts.copy()})["points"]
+    np.testing.assert_array_equal(out_eval, pts)  # test-mode disabled
+
+
 def test_sample_points_by_voxels():
     """Voxel-downsample-then-sample (reference data_processor.py:145-185):
     'raw' keeps each voxel's first point in scan order, 'mean_vfe'

@@ -113,6 +113,36 @@ class TestBallQuery:
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize(
+        "B,N,M,radii,ks,nc,spread",
+        [
+            (2, 1024, 96, (0.5, 1.5), (8, 16), 256, 2.0),  # multi-chunk
+            (1, 2000, 130, (1.0,), (32,), 512, 2.0),  # merge + M pad
+            (1, 4096, 256, (0.4,), (16,), 512, 40.0),  # sparse: AABB skips
+            (2, 700, 64, (0.8,), (16,), 16384, 2.0),  # single chunk
+        ],
+    )
+    def test_pallas_streamed_interpret(self, B, N, M, radii, ks, nc, spread):
+        """Streamed (in-kernel DMA loop + AABB chunk skip) variant is
+        bit-identical to the XLA formulation.  The ``spread=40`` case makes
+        balls tiny relative to the scene so the skip mask actually fires."""
+        from pdanet_tpu.ops.pallas.ball_query import (
+            ball_query_multi_pallas_streamed,
+        )
+
+        rng = np.random.RandomState(B * N + 1)
+        xyz = rng.randn(B, N, 3).astype(np.float32) * spread
+        new_xyz = xyz[:, :M]
+        ref = ops.ball_query.ball_query_multi(
+            radii, ks, jnp.asarray(xyz), jnp.asarray(new_xyz)
+        )
+        got = ball_query_multi_pallas_streamed(
+            radii, ks, jnp.asarray(xyz), jnp.asarray(new_xyz),
+            interpret=True, nc=nc,
+        )
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_dilated_matches_oracle(self):
         xyz = _cloud(B=2, N=96, seed=9)
         new_xyz = xyz[:, :16].copy()  # include exact self matches
