@@ -34,6 +34,13 @@ module-level auto dispatch (models/blocks.py `_pallas_impl`) currently
 enables it at **eval on TPU** where profitability is measured, with train
 selectable via ``PDANET_ATTENTION_IMPL=pallas``.  Parity (forward and
 grads) is oracle-tested in interpret mode.
+
+Measured and rejected (v5e 2026-08-19, tools/probes/train_step_probe.py):
+dispatching the kernel + fused VJP at TRAIN time — 29.0 vs flax's 27.2
+ms/step at full KITTI b2 shapes.  XLA fuses the einsum backward into the
+surrounding graph better than the standalone backward kernel's extra
+custom-call boundary + softmax recompute pay for; eval-only dispatch
+stands.
 """
 
 import math
