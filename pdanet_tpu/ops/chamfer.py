@@ -29,11 +29,13 @@ def chamfer_distance(xyz1, xyz2):
 
 
 def cd_loss_l1(pcs1, pcs2):
-    """L1 chamfer loss (cd_loss.py:14-44): mean of the two mean sqrt-NN
-    distances, halved."""
+    """L1 chamfer loss AS EXECUTED by the reference (cd_loss.py:22-25):
+    ``dist1`` is sqrt'd but the ``dist2`` sqrt is commented out
+    (cd_loss.py:24 ``# dist2 = torch.sqrt(dist2) # choice``), so the
+    returned value is (mean(sqrt d1) + mean(d2_SQUARED)) / 2 — the
+    asymmetric quirk is preserved for tb-metric parity."""
     d1, d2 = chamfer_distance(pcs1, pcs2)
     d1 = jnp.sqrt(jnp.maximum(d1, 0.0))
-    d2 = jnp.sqrt(jnp.maximum(d2, 0.0))
     return (jnp.mean(d1) + jnp.mean(d2)) / 2.0
 
 

@@ -310,7 +310,8 @@ def test_chamfer_distance_vs_numpy():
     np.testing.assert_allclose(np.asarray(d1), ref.min(2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), ref.min(1), rtol=1e-5, atol=1e-6)
     l1 = float(cd_loss_l1(jnp.asarray(a), jnp.asarray(b)))
-    ref_l1 = (np.sqrt(ref.min(2)).mean() + np.sqrt(ref.min(1)).mean()) / 2
+    # the reference's as-executed quirk (cd_loss.py:24): dist2 stays squared
+    ref_l1 = (np.sqrt(ref.min(2)).mean() + ref.min(1).mean()) / 2
     np.testing.assert_allclose(l1, ref_l1, rtol=1e-5)
 
 
