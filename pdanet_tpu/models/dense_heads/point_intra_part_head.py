@@ -122,9 +122,11 @@ def point_intra_part_loss(point_cls_preds, point_part_preds, point_coords,
         part_labels * jnp.log(jnp.clip(part_pred, eps, 1.0))
         + (1 - part_labels) * jnp.log(jnp.clip(1 - part_pred, eps, 1.0))
     ).sum(-1)
+    # reference normalizes by 3 * pos count (point_head_template.py
+    # get_part_layer_loss: ``/ (3 * pos_normalizer)``)
     part_loss = jnp.sum(
         bce * positives.astype(jnp.float32)
-    ) / jnp.maximum(pos_norm, 1.0) * w.get("point_part_weight", 1.0)
+    ) / (3.0 * jnp.maximum(pos_norm, 1.0)) * w.get("point_part_weight", 1.0)
 
     loss = cls_loss + part_loss
     tb = {

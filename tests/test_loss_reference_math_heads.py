@@ -286,3 +286,196 @@ def test_roi_reg_loss_matches_reference_math():
         float(tb["rcnn_loss_corner"]), corner_loss, rtol=2e-4)
     np.testing.assert_allclose(
         float(loss), reg_loss + corner_loss, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# point head template (point_head_template.py:131-195): simple / box / part
+# ---------------------------------------------------------------------------
+
+
+def _focal_cls_twin(labels, preds, n_out):
+    """get_cls_layer_loss (point_head_template.py:131-155): focal sum
+    normalized per positive count (no /B)."""
+    flat = labels.reshape(-1)
+    logits = preds.reshape(-1, n_out)
+    positives = flat > 0
+    cls_w = ((flat == 0) + positives).astype(np.float32)
+    pos_norm = positives.sum().astype(np.float32)
+    cls_w = cls_w / np.clip(pos_norm, 1.0, None)
+    oh = np.zeros((flat.shape[0], n_out + 1), np.float32)
+    oh[np.arange(flat.shape[0]),
+       (flat * (flat >= 0)).astype(np.int64)] = 1.0
+    oh = oh[:, 1:]
+    p = 1.0 / (1.0 + np.exp(-logits))
+    alpha_w = oh * 0.25 + (1 - oh) * 0.75
+    pt = oh * (1 - p) + (1 - oh) * p
+    focal = alpha_w * pt**2 * _sigmoid_bce(logits, oh) * cls_w[:, None]
+    return focal.sum(), pos_norm
+
+
+def _point_fixture(seed=11):
+    rng = np.random.RandomState(seed)
+    B, N = 2, 64
+    coords = (rng.rand(B, N, 3).astype(np.float32) - 0.5) * np.array(
+        [16.0, 16.0, 4.0], np.float32)
+    gt = np.zeros((B, 3, 8), np.float32)
+    gt[0, 0] = [1.0, 1.0, 0.0, 4.2, 3.8, 2.4, 0.4, 1.0]
+    gt[0, 1] = [-4.0, 3.0, 0.2, 3.0, 2.5, 2.2, -0.8, 2.0]
+    gt[1, 0] = [3.0, -2.0, 0.0, 4.0, 3.0, 2.5, 1.1, 3.0]
+    # implant fg points (plus near-boundary ones for the ignore ring)
+    for b in range(B):
+        k = 0
+        for m in range(3):
+            if gt[b, m, 7] == 0:
+                continue
+            ctr, dims = gt[b, m, 0:3], gt[b, m, 3:6]
+            for frac in (0.0, 0.3, -0.45, 0.52):  # 0.52: ring candidate
+                coords[b, k] = ctr + frac * dims
+                k += 1
+    return B, N, coords, gt
+
+
+def test_point_head_simple_loss_matches_reference_math():
+    from pdanet_tpu.models.dense_heads.iassd_head import assign_stack_targets
+    from pdanet_tpu.models.dense_heads.point_head_simple import (
+        point_head_simple_loss,
+    )
+    from pdanet_tpu.utils.box_utils import enlarge_box3d
+
+    B, N, coords, gt = _point_fixture()
+    rng = np.random.RandomState(12)
+    preds = rng.randn(B, N, 1).astype(np.float32)
+    cfg = EasyDict({
+        "CLASS_AGNOSTIC": True,
+        "TARGET_CONFIG": {"GT_EXTRA_WIDTH": [0.2, 0.2, 0.2]},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {"point_cls_weight": 1.0}},
+    })
+    loss, tb = point_head_simple_loss(
+        jnp.asarray(preds), jnp.asarray(coords), jnp.asarray(gt), cfg)
+
+    ext = np.asarray(enlarge_box3d(
+        jnp.asarray(gt.reshape(-1, 8)), [0.2, 0.2, 0.2])).reshape(B, -1, 8)
+    t = assign_stack_targets(
+        jnp.asarray(coords), jnp.asarray(gt), jnp.asarray(ext),
+        set_ignore_flag=True)
+    labels = np.asarray(t["point_cls_labels"])
+    labels = np.where(labels > 0, 1, labels)  # CLASS_AGNOSTIC
+    assert (labels > 0).any() and (labels == -1).any()
+    want, pos_num = _focal_cls_twin(labels, preds, 1)
+    np.testing.assert_allclose(float(loss), want, rtol=2e-4)
+    np.testing.assert_allclose(float(tb["point_pos_num"]), pos_num)
+
+
+def test_point_head_box_loss_matches_reference_math():
+    from pdanet_tpu.models.dense_heads.iassd_head import assign_stack_targets
+    from pdanet_tpu.models.dense_heads.point_head_box import (
+        point_head_box_loss,
+    )
+    from pdanet_tpu.utils.box_utils import enlarge_box3d
+
+    B, N, coords, gt = _point_fixture(13)
+    rng = np.random.RandomState(14)
+    cls_preds = rng.randn(B, N, NUM_CLASS).astype(np.float32)
+    box_preds = rng.randn(B, N, 8).astype(np.float32)
+    mean_size = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+    coder = build_box_coder(
+        "PointResidualCoder",
+        {"angle_bin_num": 12, "use_mean_size": True, "mean_size": mean_size})
+    cfg = EasyDict({
+        "CLASS_AGNOSTIC": False,
+        "TARGET_CONFIG": {"GT_EXTRA_WIDTH": [0.2, 0.2, 0.2]},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "point_cls_weight": 1.0, "point_box_weight": 1.0,
+            "code_weights": [1.0] * 8}},
+    })
+    loss, tb = point_head_box_loss(
+        jnp.asarray(cls_preds), jnp.asarray(box_preds), jnp.asarray(coords),
+        jnp.asarray(gt), coder, cfg, NUM_CLASS)
+
+    ext = np.asarray(enlarge_box3d(
+        jnp.asarray(gt.reshape(-1, 8)), [0.2, 0.2, 0.2])).reshape(B, -1, 8)
+    t = assign_stack_targets(
+        jnp.asarray(coords), jnp.asarray(gt), jnp.asarray(ext),
+        set_ignore_flag=True)
+    labels = np.asarray(t["point_cls_labels"])
+    assert (labels > 0).any()
+    cls_want, _ = _focal_cls_twin(labels, cls_preds, NUM_CLASS)
+
+    # box labels via the reference PointResidualCoder.encode_torch math
+    # (box_coder_utils.py:153-188), zeros on non-fg rows
+    gt_of = np.asarray(t["gt_box_of_points"]).reshape(-1, 8)
+    pts = coords.reshape(-1, 3)
+    cls_of = gt_of[:, 7].astype(np.int64)
+    anchor = np.asarray(mean_size, np.float32)[np.clip(cls_of - 1, 0, 2)]
+    diag = np.sqrt(anchor[:, 0] ** 2 + anchor[:, 1] ** 2)
+    sizes = np.clip(gt_of[:, 3:6], 1e-5, None)
+    enc = np.concatenate([
+        ((gt_of[:, 0] - pts[:, 0]) / diag)[:, None],
+        ((gt_of[:, 1] - pts[:, 1]) / diag)[:, None],
+        ((gt_of[:, 2] - pts[:, 2]) / anchor[:, 2])[:, None],
+        np.log(sizes / anchor),
+        np.cos(gt_of[:, 6])[:, None], np.sin(gt_of[:, 6])[:, None]], -1)
+    fg = labels.reshape(-1) > 0
+    enc = enc * fg[:, None]
+    pos_norm = np.clip(fg.sum().astype(np.float32), 1.0, None)
+    per = _smooth_l1(box_preds.reshape(-1, 8) - enc, 1.0 / 9.0)
+    box_want = (per.sum(-1) * fg / pos_norm).sum()
+
+    np.testing.assert_allclose(float(tb["point_loss_cls"]), cls_want, rtol=2e-4)
+    np.testing.assert_allclose(float(tb["point_loss_box"]), box_want, rtol=2e-4)
+    np.testing.assert_allclose(float(loss), cls_want + box_want, rtol=2e-4)
+
+
+def test_point_intra_part_loss_matches_reference_math():
+    from pdanet_tpu.models.dense_heads.iassd_head import assign_stack_targets
+    from pdanet_tpu.models.dense_heads.point_intra_part_head import (
+        point_intra_part_loss,
+    )
+    from pdanet_tpu.utils.box_utils import enlarge_box3d
+
+    B, N, coords, gt = _point_fixture(15)
+    rng = np.random.RandomState(16)
+    cls_preds = rng.randn(B, N, 1).astype(np.float32)
+    part_preds = rng.randn(B, N, 3).astype(np.float32)
+    valid = np.ones((B, N), bool)
+    valid[:, -8:] = False  # padded voxel slots
+    cfg = EasyDict({
+        "CLASS_AGNOSTIC": True,
+        "TARGET_CONFIG": {"GT_EXTRA_WIDTH": [0.2, 0.2, 0.2]},
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "point_cls_weight": 1.0, "point_part_weight": 1.0}},
+    })
+    loss, tb = point_intra_part_loss(
+        jnp.asarray(cls_preds), jnp.asarray(part_preds), jnp.asarray(coords),
+        jnp.asarray(valid), jnp.asarray(gt), cfg)
+
+    ext = np.asarray(enlarge_box3d(
+        jnp.asarray(gt.reshape(-1, 8)), [0.2, 0.2, 0.2])).reshape(B, -1, 8)
+    t = assign_stack_targets(
+        jnp.asarray(coords), jnp.asarray(gt), jnp.asarray(ext),
+        set_ignore_flag=True)
+    labels = np.asarray(t["point_cls_labels"])
+    labels = np.where(labels > 0, 1, labels)
+    # padded voxel slots do not exist in the reference's stacked layout —
+    # restrict the twin to the real rows
+    cls_want, pos_num = _focal_cls_twin(
+        labels[valid], cls_preds[valid][None], 1)
+
+    # part labels (point_head_template.py:115-122): canonical offset /
+    # dims + 0.5 on fg rows; BCE normalized by 3 * pos count (:158-170)
+    gt_of = np.asarray(t["gt_box_of_points"]).reshape(-1, 8)
+    pts = coords.reshape(-1, 3)
+    local = _rotate_z(pts - gt_of[:, 0:3], -gt_of[:, 6])
+    part_labels = local / np.clip(gt_of[:, 3:6], 1e-9, None) + 0.5
+    fg = (labels > 0).reshape(-1) & valid.reshape(-1)
+    part_labels = np.where(fg[:, None], part_labels, 0.0)
+    p = 1.0 / (1.0 + np.exp(-part_preds.reshape(-1, 3)))
+    eps = 1e-7
+    bce = -(part_labels * np.log(np.clip(p, eps, 1.0))
+            + (1 - part_labels) * np.log(np.clip(1 - p, eps, 1.0))).sum(-1)
+    part_want = (bce * fg).sum() / (3.0 * np.clip(fg.sum(), 1.0, None))
+
+    np.testing.assert_allclose(float(tb["point_loss_cls"]), cls_want, rtol=2e-4)
+    np.testing.assert_allclose(
+        float(tb["point_loss_part"]), part_want, rtol=2e-4)
+    np.testing.assert_allclose(float(loss), cls_want + part_want, rtol=2e-4)
