@@ -8,6 +8,7 @@ matmul over C."""
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +26,7 @@ class ConvBNReLU(nn.Module):
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,
             epsilon=1e-3, name="bn",
         )(x)
@@ -75,7 +76,7 @@ class BaseBEVBackbone(nn.Module):
                         num_up_filters[idx], (s, s), strides=(s, s),
                         use_bias=False, name=f"deblocks_{idx}_conv",
                     )(x)
-                u = nn.BatchNorm(
+                u = BatchNorm(
                     use_running_average=not train, momentum=bn_m,
                     epsilon=1e-3, name=f"deblocks_{idx}_bn",
                 )(u)
@@ -90,7 +91,7 @@ class BaseBEVBackbone(nn.Module):
                 out.shape[-1], (s, s), strides=(s, s), use_bias=False,
                 name="deblocks_final_deconv",
             )(out)
-            out = nn.BatchNorm(
+            out = BatchNorm(
                 use_running_average=not train, momentum=bn_m, epsilon=1e-3,
                 name="deblocks_final_bn",
             )(out)

@@ -6,6 +6,7 @@ width (CaDDN's MAP_TO_BEV)."""
 from typing import Any
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax.numpy as jnp
 
 from ....utils.easydict import EasyDict
@@ -30,6 +31,6 @@ class Conv2DCollapse(nn.Module):
             use_bias=bool(args.get("bias", False)), padding="SAME",
             name="block",
         )(bev)
-        bev = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bev = BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name="bn")(bev)
         return nn.relu(bev)

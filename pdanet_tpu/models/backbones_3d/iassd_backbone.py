@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.maxpool import max_first, max_first_keepdims
 from ...ops.ball_query import ball_query, ball_query_multi
 from ...ops.grouping import gather_points, group_points
 from ...ops.sampling import (
@@ -204,14 +205,15 @@ class SAModuleWithSampling(nn.Module):
                     tuple(self.mlps[i][1:]), dtype=self.compute_dtype,
                     name=f"mlps_{i}",
                 )(grouped, train)
-                scale_feats.append(jnp.max(h, axis=2))  # maxpool over K
+                # maxpool over K — torch F.max_pool2d tie-grad semantics
+                scale_feats.append(max_first(h, 2))
             new_features = jnp.concatenate(scale_feats, axis=-1)
             if self.aggregation_mlp:
                 new_features = MLPStack(
                     tuple(self.aggregation_mlp), dtype=self.compute_dtype,
                     name="aggregation_layer"
                 )(new_features, train)
-            new_features = new_features.astype(jnp.float32)
+            new_features = new_features.astype(xyz.dtype)  # exit bf16 compute
         else:
             new_features = gather_points(features, sampled_idx)
 
@@ -222,7 +224,7 @@ class SAModuleWithSampling(nn.Module):
                 name="confidence_mlp",
             )(new_features, train)
             cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
-            cls_preds = cls_preds.astype(jnp.float32)
+            cls_preds = cls_preds.astype(xyz.dtype)
         return new_xyz, new_features, cls_preds, sampled_idx
 
 
@@ -297,7 +299,7 @@ class SAModuleEllipsoid(nn.Module):
                     )
                 )
                 # (a) density branch (:799-806)
-                dmax = jnp.max(density, axis=2, keepdims=True)
+                dmax = max_first_keepdims(density, 2)  # torch .max(dim) tie grads
                 density_scale = DensityNet(name=f"point_density_{i}")(
                     density / dmax, train
                 )
@@ -329,7 +331,7 @@ class SAModuleEllipsoid(nn.Module):
                     dtype=self.compute_dtype,
                     name=f"Local_pointformer_{i}",
                 )(fused, train)
-                pooled = jnp.max(fused, axis=2)  # (B, M, 4d)
+                pooled = max_first(fused, 2)  # (B, M, 4d); torch tie grads
                 out = MLPStack(
                     (2 * d, self.mlps[i][-1]), dtype=self.compute_dtype,
                     name=f"fin_conv_{i}",
@@ -341,7 +343,7 @@ class SAModuleEllipsoid(nn.Module):
                     tuple(self.aggregation_mlp), dtype=self.compute_dtype,
                     name="aggregation_layer"
                 )(new_features, train)
-            new_features = new_features.astype(jnp.float32)
+            new_features = new_features.astype(xyz.dtype)  # exit bf16 compute
         else:
             new_features = gather_points(features, sampled_idx)
 
@@ -352,7 +354,7 @@ class SAModuleEllipsoid(nn.Module):
                 name="confidence_mlp",
             )(new_features, train)
             cls_preds = nn.Dense(self.num_class, use_bias=True, name="confidence_out")(h)
-            cls_preds = cls_preds.astype(jnp.float32)
+            cls_preds = cls_preds.astype(xyz.dtype)
         return new_xyz, new_features, cls_preds, sampled_idx
 
 

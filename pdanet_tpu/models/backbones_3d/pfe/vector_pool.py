@@ -20,6 +20,7 @@ TPU re-design (local_interpolation mode, the one PV-RCNN++ ships):
 from typing import Any
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,7 +119,7 @@ class VectorPoolAggregationModule(nn.Module):
         h = jnp.einsum("bmvc,vcd->bmvd", vec, kernel).reshape(
             B, M, V * c_agg
         )
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="sla_bn",
         )(h)
@@ -126,7 +127,7 @@ class VectorPoolAggregationModule(nn.Module):
 
         for k, f in enumerate(self.post_mlps):
             h = nn.Dense(int(f), use_bias=False, name=f"post_{k}")(h)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"post_bn_{k}",
             )(h)
@@ -165,7 +166,7 @@ class VectorPoolAggregationModuleMSG(nn.Module):
         h = jnp.concatenate(outs + [new_xyz], axis=-1)
         for k, f in enumerate(cfg.MSG_POST_MLPS):
             h = nn.Dense(int(f), use_bias=False, name=f"msg_post_{k}")(h)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"msg_post_bn_{k}",
             )(h)

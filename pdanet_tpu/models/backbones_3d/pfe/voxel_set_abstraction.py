@@ -24,6 +24,7 @@ TPU re-design:
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -368,7 +369,7 @@ class VoxelSetAbstraction(nn.Module):
         h = nn.Dense(
             int(cfg.NUM_OUTPUT_FEATURES), use_bias=False, name="fusion"
         )(before_fusion)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="fusion_bn",
         )(h)

@@ -58,8 +58,11 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1)) / n
             if not self.is_initializing():
                 m = self.momentum
+                # torch stores the unbiased (n-1) variance in running_var
+                # (see models/norm.py); n = valid-row count
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias

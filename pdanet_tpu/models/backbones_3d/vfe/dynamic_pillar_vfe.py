@@ -12,6 +12,7 @@ dense-canvas scatter when the canvas itself is the product.
 from typing import Any, Sequence
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -84,7 +85,7 @@ class DynamicPillarVFE(nn.Module):
         for i, width in enumerate(num_filters):
             last = i == len(num_filters) - 1
             h = nn.Dense(width, use_bias=False, name=f"pfn{i}_linear")(h)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
                 name=f"pfn{i}_bn",
             )(h)

@@ -24,6 +24,7 @@ TPU re-design:
 from typing import Any
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,7 +47,7 @@ class ConvBNReLU(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding="SAME", use_bias=False,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
         return nn.relu(x)
 
@@ -63,7 +64,7 @@ class ResBlock2D(nn.Module):
         h = nn.Conv(self.features, (3, 3),
                     kernel_dilation=(self.dilation, self.dilation),
                     padding="SAME", use_bias=False, name="c2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(h)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1),
@@ -261,7 +262,7 @@ class ImageVFE(nn.Module):
             int(cr.out_channels), (int(cr.kernel_size),) * 2,
             use_bias=bool(cr.get("bias", False)), name="channel_reduce",
         )(feats)
-        feats = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        feats = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="channel_reduce_bn")(feats)
         feats = nn.relu(feats)
 

@@ -10,6 +10,7 @@ paddings indicator."""
 from typing import Any, Sequence
 
 import flax.linen as nn
+from ...norm import BatchNorm
 import jax.numpy as jnp
 
 
@@ -32,7 +33,7 @@ class PFNLayer(nn.Module):
         out = self.out_channels if self.last_layer else self.out_channels // 2
         if self.use_norm:
             h = nn.Dense(out, use_bias=False, name="linear")(x)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
                 name="norm",
             )(h)

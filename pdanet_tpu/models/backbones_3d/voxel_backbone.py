@@ -26,6 +26,7 @@ reference's ``padding=(0, 1, 1)`` (:105) and conv_out its ``last_pad=0``
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -137,8 +138,11 @@ class DenseMaskedBatchNorm(nn.Module):
             var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1, 2, 3)) / n
             if not self.is_initializing():
                 m = self.momentum
+                # torch stores the unbiased (n-1) variance in running_var
+                # (see models/norm.py); n = active-site count here
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
@@ -169,7 +173,7 @@ class Conv3DBNReLU(nn.Module):
             strides=tuple(self.stride), padding=pad, use_bias=False,
         )(x)
         if occ is None:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=self.bn_momentum,
                 epsilon=1e-3, name="BatchNorm_0",
             )(x)
@@ -257,7 +261,7 @@ class ResBlock3D(nn.Module):
     def __call__(self, x, train=False, occ=None):
         def bn(name, h):
             if occ is None:
-                return nn.BatchNorm(use_running_average=not train,
+                return BatchNorm(use_running_average=not train,
                                     momentum=self.bn_momentum,
                                     epsilon=1e-3, name=name)(h)
             return DenseMaskedBatchNorm(

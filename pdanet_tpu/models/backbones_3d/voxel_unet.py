@@ -18,6 +18,7 @@ checkpoints land voxel-for-voxel.
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax.numpy as jnp
 
 from .voxel_backbone import (
@@ -80,7 +81,7 @@ class UpConv3D(nn.Module):
         )(x)
         x = x[:, : target_shape[0], : target_shape[1], : target_shape[2], :]
         if occ is None:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.99,
                 epsilon=1e-3, name="BatchNorm_0",
             )(x)

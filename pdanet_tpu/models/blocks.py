@@ -17,6 +17,7 @@ Parity notes:
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+from .norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -72,7 +73,7 @@ class DenseBNReLU(nn.Module):
         x = nn.Dense(
             self.features, use_bias=self.use_bias, dtype=dt, name="dense"
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=_norm_dtype(self.dtype, train), name="bn",
         )(x)
@@ -106,7 +107,7 @@ class DensityNet(nn.Module):
     def __call__(self, x, train: bool):
         for i, f in enumerate(tuple(self.hidden) + (1,)):
             x = nn.Dense(f, use_bias=True, name=f"conv{i}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"bn{i}",
             )(x)
@@ -248,7 +249,8 @@ class TransformerEncoderLayerPreNorm(nn.Module):
         ln_dt = _norm_dtype(self.dtype, train)
         # x: (B, M, K, D)
         pallas = self._pallas_impl(train, x.shape[-2])
-        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1",
+                 use_fast_variance=False)(x)  # torch two-pass var
         if pallas is not None:
             attn = NeighborMHAPallas(
                 num_heads=self.nhead,
@@ -267,7 +269,8 @@ class TransformerEncoderLayerPreNorm(nn.Module):
                 name="self_attn",
             )(x, x)
         x = x + attn
-        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm2",
+                 use_fast_variance=False)(x)  # torch two-pass var
         h = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, dtype=dt, name="linear2")(h)

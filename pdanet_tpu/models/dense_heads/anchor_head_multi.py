@@ -12,6 +12,7 @@ location — exactly the order produced by concatenating each head's
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,7 +102,7 @@ class SingleHeadNet(nn.Module):
                 for k in range(n_mid):
                     x = nn.Conv(c_mid, (3, 3), padding="SAME",
                                 use_bias=False, name=f"{prefix}_mid{k}")(x)
-                    x = nn.BatchNorm(
+                    x = BatchNorm(
                         use_running_average=not train, momentum=0.99,
                         epsilon=1e-3, name=f"{prefix}_bn{k}",
                     )(x)
@@ -158,7 +159,7 @@ class AnchorHeadMultiNet(nn.Module):
         if cfg.get("SHARED_CONV_NUM_FILTER") is not None:
             x = nn.Conv(int(cfg.SHARED_CONV_NUM_FILTER), (3, 3),
                         padding="SAME", use_bias=False, name="shared_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, name="shared_bn")(x)
             x = nn.relu(x)
 

@@ -19,6 +19,7 @@ KITTI config uses a single head over all three classes.
 from typing import Any, Sequence
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,7 +46,7 @@ class SeparateHead(nn.Module):
                     x.shape[-1], (3, 3), padding="SAME",
                     use_bias=self.use_bias, name=f"{name}_conv{k}",
                 )(h)
-                h = nn.BatchNorm(
+                h = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{name}_bn{k}",
                 )(h)
@@ -78,7 +79,7 @@ class CenterHeadNet(nn.Module):
             use_bias=cfg.get("USE_BIAS_BEFORE_NORM", False),
             name="shared_conv",
         )(spatial_features_2d)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="shared_bn",
         )(x)

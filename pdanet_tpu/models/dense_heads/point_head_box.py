@@ -12,6 +12,7 @@ vectorized ``assign_stack_targets`` (iassd_head).
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +36,7 @@ class PointHeadBoxNet(nn.Module):
         def stack(x, widths, n_out, prefix):
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

@@ -12,6 +12,7 @@ reference's per-frame boolean indexing.
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +35,7 @@ class PointHeadSimpleNet(nn.Module):
         x = point_features
         for k, f in enumerate(cfg.CLS_FC):
             x = nn.Dense(f, use_bias=False, name=f"cls_fc{k}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"cls_bn{k}",
             )(x)

@@ -10,6 +10,7 @@ rows with a validity mask (padding rows get weight 0 like background).
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +37,7 @@ class PointIntraPartOffsetHeadNet(nn.Module):
         def stack(x, widths, n_out, prefix):
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

@@ -13,6 +13,7 @@ the gathers, matching spconv up to BN statistics).
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +31,7 @@ class MaskedConvBlock(nn.Module):
     def __call__(self, x, occ, train=False):
         x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
                     use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3)(x)
         return nn.relu(x) * occ[..., None]
 
@@ -108,7 +109,7 @@ class PartA2HeadNet(nn.Module):
             (cls/reg via make_fc_layers, roi_head_template.py:39-40)."""
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

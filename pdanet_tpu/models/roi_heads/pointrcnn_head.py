@@ -14,6 +14,7 @@ config) maps to bias+ReLU MLPs.
 from typing import Any, Sequence
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +37,7 @@ class _MLP(nn.Module):
         for k, f in enumerate(self.widths):
             x = nn.Dense(f, use_bias=not self.use_bn, name=f"fc{k}")(x)
             if self.use_bn:
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"bn{k}",
                 )(x)
@@ -157,7 +158,7 @@ class PointRCNNHeadNet(nn.Module):
         def head(x, widths, n_out, prefix):
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

@@ -11,6 +11,7 @@ offset bookkeeping.
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax.numpy as jnp
 
 from ...utils.easydict import EasyDict
@@ -68,7 +69,7 @@ class PVRCNNHeadNet(nn.Module):
             (cls/reg via make_fc_layers, roi_head_template.py:39-40)."""
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

@@ -21,6 +21,7 @@ TPU re-design: every stage is fixed-shape.
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -324,7 +325,7 @@ class FCStack(nn.Module):
     def __call__(self, x, train=False):
         for k, f in enumerate(self.fc_list):
             x = nn.Dense(f, use_bias=False, name=f"fc{k}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"bn{k}",
             )(x)

@@ -8,6 +8,7 @@ refined (batch_box_preds stays the roi, second_head.py:133-135)."""
 from typing import Any
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax.numpy as jnp
 
 from ...utils import loss_utils
@@ -29,7 +30,7 @@ class SECONDHeadNet(nn.Module):
         shared = list(cfg.SHARED_FC)
         for k, f in enumerate(shared):
             x = nn.Dense(f, use_bias=False, name=f"shared_fc{k}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"shared_bn{k}",
             )(x)
@@ -38,7 +39,7 @@ class SECONDHeadNet(nn.Module):
                 x = nn.Dropout(dp, deterministic=not train)(x)
         for k, f in enumerate(cfg.IOU_FC):
             x = nn.Dense(f, use_bias=False, name=f"iou_fc{k}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"iou_bn{k}",
             )(x)

@@ -21,6 +21,7 @@ TPU forms here:
 from typing import Any, Sequence
 
 import flax.linen as nn
+from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,7 +73,7 @@ class NeighborGridPool(nn.Module):
         c_mid, c_out = int(self.mlp[1]), int(self.mlp[2])
         # feature pre-MLP on the grid (mlps_in, voxel_pool_modules.py:35-38)
         f = nn.Dense(c_mid, use_bias=False, name="mlp_in")(dense)
-        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        f = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn_in")(f)
         f = f.reshape(B, Z * Y * X, c_mid)
 
@@ -105,14 +106,14 @@ class NeighborGridPool(nn.Module):
 
         # position MLP added to grouped features (mlps_pos, :40-43,110-113)
         pos = nn.Dense(c_mid, use_bias=False, name="mlp_pos")(rel)
-        pos = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        pos = BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name="bn_pos")(pos)
         h = nn.relu(gathered + pos)
         h = jnp.where(valid[..., None], h, 0.0)
         h = jnp.max(h, axis=2)  # (B, G, c_mid)
 
         h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn_out")(h)
         return nn.relu(h)
 
@@ -168,7 +169,7 @@ class SparseNeighborGridPool(nn.Module):
 
         # feature pre-MLP on the sparse rows (mlps_in)
         f = nn.Dense(c_mid, use_bias=False, name="mlp_in")(feats)
-        f = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        f = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn_in")(f)
         f = jnp.where(valid[..., None], f, 0.0)
 
@@ -216,14 +217,14 @@ class SparseNeighborGridPool(nn.Module):
         )
 
         pos = nn.Dense(c_mid, use_bias=False, name="mlp_pos")(rel)
-        pos = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        pos = BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name="bn_pos")(pos)
         h = nn.relu(gathered + pos)
         h = jnp.where(valid_k[..., None], h, 0.0)
         h = jnp.max(h, axis=2)
 
         h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn_out")(h)
         return nn.relu(h)
 
@@ -289,7 +290,7 @@ class VoxelRCNNHeadNet(nn.Module):
             # (voxelrcnn_head.py:49-50,62-63,76-77)
             for k, f in enumerate(widths):
                 x = nn.Dense(f, use_bias=False, name=f"{prefix}_fc{k}")(x)
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-5, name=f"{prefix}_bn{k}",
                 )(x)

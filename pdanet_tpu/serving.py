@@ -9,8 +9,12 @@ the trained weights baked in as constants and serialized into one file.
 
 Properties of the artifact:
 
-- **self-contained**: running it needs jax/jaxlib only — not pdanet_tpu,
-  not the YAML config system, not the checkpoint pickle;
+- **self-contained**: the serialized artifact deserializes and runs with
+  jax/jaxlib alone via ``jax.export.deserialize`` — no YAML config system,
+  no checkpoint pickle, no pdanet_tpu import required on the serving host
+  (``load_serving`` below is a convenience wrapper that lives in this
+  package; frontends that must avoid importing pdanet_tpu can inline its
+  four lines);
 - **static shapes end-to-end**: inputs are the exact dense device batch
   the data pipeline emits (``(B, N, C)`` points / padded voxel triplet),
   outputs the fixed-shape ``pred_boxes / pred_scores / pred_labels /
@@ -70,6 +74,16 @@ def serving_input_spec(cfg, batch_size, model):
     spec = {}
     for key in keys:
         if key == "points":
+            if "sample_points" not in procs:
+                raise ValueError(
+                    "serving export of a model whose device batch carries "
+                    "'points' requires a `sample_points` DATA_PROCESSOR "
+                    "entry: its NUM_POINTS budget is what fixes the static "
+                    "(B, N, C) point-cloud shape the AOT artifact is traced "
+                    "at (data_processor.py sample_points semantics). "
+                    "Pipelines without it have no config-derivable point "
+                    "budget."
+                )
             n = _test_budget(procs["sample_points"]["NUM_POINTS"])
             spec[key] = ((batch_size, n, num_feats), jnp.float32)
         elif key == "voxels":
@@ -114,8 +128,14 @@ def example_device_batch(cfg, batch_size, model, seed=0):
             pts = np.zeros(shape, np.float32)
             pts[..., :3] = rs.uniform(pc_range[:3], pc_range[3:6], shape[:2] + (3,))
             if "sort_points" in procs:
-                order = np.argsort(pts[..., 0], axis=1)
-                pts = np.take_along_axis(pts, order[..., None], axis=1)
+                # mirror the processor's own test-split gate
+                # (data_processor.sort_points: ENABLED defaults to on)
+                enabled = procs["sort_points"].get(
+                    "ENABLED", {"train": True, "test": True}
+                )
+                if enabled["test"]:
+                    order = np.argsort(pts[..., 0], axis=1)
+                    pts = np.take_along_axis(pts, order[..., None], axis=1)
             batch[key] = jnp.asarray(pts)
         elif key == "voxels":
             vox = np.zeros(shape, np.float32)

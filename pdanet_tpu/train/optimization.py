@@ -26,13 +26,20 @@ def annealing_cos(start, end, pct):
     return end + (start - end) / 2.0 * cos_out
 
 
+# float dtype for schedule math: f32 normally, f64 under jax_enable_x64
+# (the training-trajectory twin pins the schedule against the reference's
+# float64 numpy formula)
+def _fdtype():
+    return jnp.result_type(float)
+
+
 def one_cycle_schedules(total_steps, lr_max, moms, div_factor, pct_start):
     """Returns (lr_schedule, mom_schedule) callables over the global step."""
     a1 = int(total_steps * pct_start)
     low_lr = lr_max / div_factor
 
     def lr_fn(step):
-        step = jnp.asarray(step, jnp.float32)
+        step = jnp.asarray(step, _fdtype())
         p1 = jnp.clip(step / max(a1, 1), 0.0, 1.0)
         p2 = jnp.clip((step - a1) / max(total_steps - a1, 1), 0.0, 1.0)
         lr1 = annealing_cos(low_lr, lr_max, p1)
@@ -40,7 +47,7 @@ def one_cycle_schedules(total_steps, lr_max, moms, div_factor, pct_start):
         return jnp.where(step < a1, lr1, lr2)
 
     def mom_fn(step):
-        step = jnp.asarray(step, jnp.float32)
+        step = jnp.asarray(step, _fdtype())
         p1 = jnp.clip(step / max(a1, 1), 0.0, 1.0)
         p2 = jnp.clip((step - a1) / max(total_steps - a1, 1), 0.0, 1.0)
         m1 = annealing_cos(moms[0], moms[1], p1)
@@ -56,7 +63,7 @@ def decay_steps_schedule(total_iters_each_epoch, decay_step_list, lr, lr_decay,
     decay_steps = [x * total_iters_each_epoch for x in decay_step_list]
 
     def fn(step):
-        cur = jnp.ones((), jnp.float32)
+        cur = jnp.ones((), _fdtype())
         for ds in decay_steps:
             cur = jnp.where(step >= ds, cur * lr_decay, cur)
         return lr * jnp.maximum(cur, lr_clip / lr)

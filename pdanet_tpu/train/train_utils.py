@@ -128,7 +128,20 @@ def jit_train_step(train_step, mesh, donate=True):
 # ---------------------------------------------------------------------------
 # Checkpointing (reference train_utils.py:148-182): rolling retention,
 # optimizer state included; stored as a pickled numpy pytree.
+#
+# Hardening beyond the reference (whose torch.save can also be killed
+# mid-write): atomic publish (tmp + fsync + os.replace, so a crash never
+# corrupts the NEWEST checkpoint auto-resume would pick), a format-version
+# field, and a CRC-32 over the payload so silent truncation/bit-rot is
+# detected at load instead of materializing as garbage weights.  v1 files
+# (bare pickled dict) remain readable.
 # ---------------------------------------------------------------------------
+
+CKPT_FORMAT_VERSION = 2
+
+
+class CheckpointError(RuntimeError):
+    """A checkpoint file is unreadable, truncated, or fails its checksum."""
 
 
 def checkpoint_state(state: TrainState, epoch: int, it: int):
@@ -146,15 +159,62 @@ def checkpoint_state(state: TrainState, epoch: int, it: int):
 
 
 def save_checkpoint(ckpt, filename="checkpoint"):
+    import zlib
+
     filename = "{}.pkl".format(filename)
-    with open(filename, "wb") as f:
-        pickle.dump(ckpt, f)
+    payload = pickle.dumps(ckpt, protocol=pickle.HIGHEST_PROTOCOL)
+    wrapper = {
+        "__pdanet_ckpt_format__": CKPT_FORMAT_VERSION,
+        "crc32": zlib.crc32(payload),
+        "payload": payload,
+    }
+    tmp = "{}.tmp.{}".format(filename, os.getpid())
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump(wrapper, f, protocol=pickle.HIGHEST_PROTOCOL)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, filename)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return filename
 
 
 def load_checkpoint(filename):
-    with open(filename, "rb") as f:
-        return pickle.load(f)
+    import zlib
+
+    try:
+        with open(filename, "rb") as f:
+            obj = pickle.load(f)
+    except (pickle.UnpicklingError, EOFError, AttributeError, MemoryError,
+            ValueError) as e:
+        raise CheckpointError(f"unreadable checkpoint {filename}: {e}") from e
+    if isinstance(obj, dict) and "__pdanet_ckpt_format__" in obj:
+        payload = obj["payload"]
+        if zlib.crc32(payload) != obj["crc32"]:
+            raise CheckpointError(
+                f"checksum mismatch in {filename} "
+                f"(format v{obj['__pdanet_ckpt_format__']})"
+            )
+        return pickle.loads(payload)
+    return obj  # v1: bare pickled dict
+
+
+def load_newest_checkpoint(ckpt_files, logger=None):
+    """Load the newest readable checkpoint from ``ckpt_files`` (oldest →
+    newest order).  A corrupt newest file (crashed mid-write on a non-atomic
+    FS, truncated by disk-full, bit-rot) logs a warning and falls back to the
+    previous one.  Returns ``(ckpt, path)`` or ``(None, None)``."""
+    for path in reversed(list(ckpt_files)):
+        try:
+            return load_checkpoint(path), path
+        except CheckpointError as e:
+            if logger is not None:
+                logger.warning(
+                    "skipping corrupt checkpoint %s (%s); falling back", path, e
+                )
+    return None, None
 
 
 def restore_train_state(ckpt, state: TrainState, tx=None, with_optimizer=True):

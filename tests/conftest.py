@@ -47,6 +47,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: slow tier (full subprocess train/eval CLI runs)"
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast signal tier (ops oracles + flagship model + loss twin); "
+        "run with `-m smoke`",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

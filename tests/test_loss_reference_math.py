@@ -36,6 +36,8 @@ from pdanet_tpu.models import build_network
 from pdanet_tpu.models.dense_heads import iassd_head
 from pdanet_tpu.utils.box_coder_utils import build_box_coder
 
+pytestmark = pytest.mark.smoke
+
 NUM_CLASS = 3
 BIN_SIZE = 12
 

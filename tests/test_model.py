@@ -14,6 +14,8 @@ from pdanet_tpu.models.dense_heads import iassd_head
 from pdanet_tpu.models.detectors.iassd import compute_loss, post_processing
 from pdanet_tpu.utils.box_coder_utils import build_box_coder
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def model_and_vars():

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from pdanet_tpu import ops
 from tests import oracles
 
+pytestmark = pytest.mark.smoke
+
 
 def _cloud(B=2, N=128, seed=0, scale=4.0):
     rng = np.random.RandomState(seed)

@@ -167,6 +167,59 @@ def test_checkpoint_roundtrip(train_setup, tmp_path):
     assert int(restored.step) == 123
 
 
+def test_checkpoint_corrupt_fallback(train_setup, tmp_path):
+    """Crash injection (VERDICT r2 next#7): truncate the newest checkpoint
+    mid-'write'; auto-resume must detect it (CRC / unpickle failure) and fall
+    back to the previous epoch's file instead of loading garbage."""
+    from pdanet_tpu.train import (
+        CheckpointError,
+        checkpoint_state,
+        load_checkpoint,
+        load_newest_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg, model, tx, state, pts, gt = train_setup
+    good = save_checkpoint(
+        checkpoint_state(state, epoch=1, it=10),
+        filename=str(tmp_path / "checkpoint_epoch_1"),
+    )
+    bad = save_checkpoint(
+        checkpoint_state(state, epoch=2, it=20),
+        filename=str(tmp_path / "checkpoint_epoch_2"),
+    )
+    # simulate a crash mid-write / disk-full truncation of the NEWEST file
+    data = open(bad, "rb").read()
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 2])
+
+    with pytest.raises(CheckpointError):
+        load_checkpoint(bad)
+    ck, path = load_newest_checkpoint([good, bad])
+    assert path == good and ck["epoch"] == 1 and ck["it"] == 10
+
+    # flipped-bit corruption (file length intact) must also be caught
+    flipped = bytearray(data)
+    flipped[len(flipped) // 2] ^= 0xFF
+    with open(bad, "wb") as f:
+        f.write(bytes(flipped))
+    try:
+        loaded = load_checkpoint(bad)
+        # an unlucky flip inside pickle structure raises; a flip in tensor
+        # bytes must be caught by the CRC — reaching here is a failure
+        assert False, f"corrupt checkpoint loaded silently: {type(loaded)}"
+    except CheckpointError:
+        pass
+
+    # v1 read-compat: a bare pickled dict (round-1/2 files) still loads
+    import pickle
+
+    v1 = tmp_path / "checkpoint_epoch_0.pkl"
+    with open(v1, "wb") as f:
+        pickle.dump({"epoch": 0, "it": 0}, f)
+    assert load_checkpoint(str(v1))["epoch"] == 0
+
+
 def test_merge_results_dist_simulated_world3(tmp_path):
     """Simulated 3-process eval merge: stride-sharded parts interleave
     back into dataset order and rank>0 returns None

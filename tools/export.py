@@ -111,6 +111,16 @@ def main():
     platforms = (
         [p.strip() for p in args.platforms.split(",")] if args.platforms else None
     )
+    if args.verify and platforms is not None:
+        # --verify runs the artifact on THIS host; a lowering that excludes
+        # the host backend (e.g. CPU host cross-lowering for TPU only) would
+        # make Exported.call raise after the export.  Include the host
+        # platform so verification can run; the extra lowering is harmless.
+        host = jax.default_backend()
+        if host not in platforms:
+            print(f"--verify: adding host platform {host!r} to lowering "
+                  f"targets {platforms} so the artifact can run here")
+            platforms = platforms + [host]
     exported = serving.export_serving(
         model, variables, cfg.MODEL, batch, platforms=platforms
     )

@@ -150,14 +150,16 @@ def main():
         # auto-resume from newest checkpoint (reference train.py:140-150)
         import glob
 
+        from pdanet_tpu.train.train_utils import load_newest_checkpoint
+
         ckpts = sorted(
             glob.glob(str(ckpt_dir / "checkpoint_epoch_*.pkl")), key=os.path.getmtime
         )
-        if ckpts:
-            ck = load_checkpoint(ckpts[-1])
+        ck, ck_path = load_newest_checkpoint(ckpts, logger=logger)
+        if ck is not None:
             state = restore_train_state(ck, state, tx)
             start_epoch = ck["epoch"]
-            logger.info(f"auto-resumed from {ckpts[-1]} at epoch {start_epoch}")
+            logger.info(f"auto-resumed from {ck_path} at epoch {start_epoch}")
     if args.pretrained_model is not None:
         ck = load_checkpoint(args.pretrained_model)
         state = restore_train_state(ck, state, tx, with_optimizer=False)
