@@ -113,6 +113,66 @@ def compute_statistics(iou, pred_scores, gt_flag, pred_flag, score_threshold,
     return tp, fp, fn
 
 
+def compute_statistics_all_thresholds(iou, pred_scores, gt_flag, pred_flag,
+                                      score_thresholds, iou_threshold):
+    """``compute_statistics`` for ALL score thresholds in one pass.
+
+    The reference numba-jits the per-(sample, threshold) greedy matcher
+    (evaluation.py:217-263); this port keeps the sequential gt loop (its
+    assignment state is inherently ordered) but carries the per-threshold
+    assignment state as a (T, num_pred) matrix, so the j scan becomes
+    vectorized numpy over all thresholds at once.  Matching semantics are
+    bit-identical (oracle-tested against ``compute_statistics``):
+
+    * among eligible flag-0 preds above the IoU gate, the max-IoU one wins
+      with first-index tie-break (the reference's strict ``>`` best-chase,
+      including the gt_assigned_to_ignore reset interplay);
+    * otherwise the FIRST eligible flag-1 (ignore) pred above the gate;
+    * fp counts unassigned flag-0 preds above the score threshold.
+
+    Returns (T, 3) [tp, fp, fn].
+    """
+    num_gt, num_pred = iou.shape
+    score_thresholds = np.asarray(score_thresholds)
+    T = len(score_thresholds)
+    if num_pred == 0:
+        fn = np.sum(gt_flag == 0)
+        out = np.zeros((T, 3), np.int64)
+        out[:, 2] = fn
+        return out
+    under = pred_scores[None, :] < score_thresholds[:, None]  # (T, P)
+    eligible = pred_flag != -1
+    flag0 = pred_flag == 0
+    flag1 = pred_flag == 1
+    assigned = np.zeros((T, num_pred), bool)
+    tp = np.zeros(T, np.int64)
+    fp = np.zeros(T, np.int64)
+    fn = np.zeros(T, np.int64)
+    for i in range(num_gt):
+        if gt_flag[i] == -1:
+            continue
+        gate = (iou[i] > iou_threshold) & eligible
+        live = ~assigned & ~under  # (T, P)
+        m0 = live & (gate & flag0)[None, :]
+        m1 = live & (gate & flag1)[None, :]
+        any0 = m0.any(axis=1)
+        any1 = m1.any(axis=1)
+        det0 = np.argmax(np.where(m0, iou[i][None, :], -1.0), axis=1)
+        det1 = np.argmax(m1, axis=1)  # first True
+        det = np.where(any0, det0, det1)
+        detected = any0 | any1
+        if gt_flag[i] == 0:
+            fn += ~detected
+        # assignment applies for every detected row; tp only when the match
+        # is a real (flag-0) pred and the gt is flag-0
+        rows = np.nonzero(detected)[0]
+        assigned[rows, det[rows]] = True
+        if gt_flag[i] == 0:
+            tp += detected & any0
+    fp = np.sum(~assigned & (flag0 & eligible)[None, :] & ~under, axis=1)
+    return np.stack([tp, fp, fn], axis=1)
+
+
 def filter_data(gt_anno, pred_anno, difficulty_mode, difficulty_level,
                 class_name, use_superclass):
     """reference evaluation.py:267-324. flags: 0 accept, 1 ignore, -1 reject."""
@@ -277,14 +337,10 @@ def get_evaluation_results(
                 pred_score = pred_annos[sample_idx]["score"]
                 iou = ious[sample_idx]
                 gt_flag, pred_flag = gt_flags[sample_idx], pred_flags[sample_idx]
-                for th_idx, score_th in enumerate(thresholds):
-                    tp, fp, fn = compute_statistics(
-                        iou, pred_score, gt_flag, pred_flag,
-                        score_threshold=score_th, iou_threshold=iou_threshold,
-                    )
-                    confusion[th_idx, 0] += tp
-                    confusion[th_idx, 1] += fp
-                    confusion[th_idx, 2] += fn
+                confusion += compute_statistics_all_thresholds(
+                    iou, pred_score, gt_flag, pred_flag, thresholds,
+                    iou_threshold=iou_threshold,
+                )
             for th_idx in range(len(thresholds)):
                 recall[cls_idx, diff_idx, th_idx] = confusion[th_idx, 0] / max(
                     confusion[th_idx, 0] + confusion[th_idx, 2], 1e-9

@@ -336,6 +336,41 @@ def test_kitti_matcher_vectorized_vs_sequential():
                 np.testing.assert_allclose(vec[t, 3], ref_sim, rtol=1e-9)
 
 
+def test_once_matcher_vectorized_vs_sequential():
+    """The ONCE eval's compute_statistics_all_thresholds must reproduce
+    the per-threshold python matcher exactly (the greedy best-IoU flag-0 /
+    first flag-1 semantics of reference evaluation.py:217-263), across
+    random gt/pred flag mixes, duplicate IoUs (tie-break), and empty
+    pred sets."""
+    from pdanet_tpu.datasets.once.once_eval.evaluation import (
+        compute_statistics,
+        compute_statistics_all_thresholds,
+    )
+
+    rng = np.random.RandomState(9)
+    for trial in range(12):
+        num_gt = rng.randint(1, 12)
+        num_pred = rng.randint(0, 16)
+        # quantized IoUs force ties through the argmax tie-break path
+        iou = np.round(rng.rand(num_gt, num_pred), 1)
+        scores = rng.rand(num_pred)
+        gt_flag = rng.choice([-1, 0, 1], num_gt)
+        pred_flag = rng.choice([-1, 0, 1], num_pred)
+        thresholds = np.sort(rng.rand(9))[::-1]
+        iou_th = 0.3
+
+        vec = compute_statistics_all_thresholds(
+            iou, scores, gt_flag, pred_flag, thresholds, iou_th
+        )
+        for t, th in enumerate(thresholds):
+            tp, fp, fn = compute_statistics(
+                iou, scores, gt_flag, pred_flag,
+                score_threshold=th, iou_threshold=iou_th,
+            )
+            assert (vec[t] == [tp, fp, fn]).all(), (
+                trial, t, vec[t].tolist(), [tp, fp, fn])
+
+
 def test_once_point_painting_matches_grid_sample(once_root):
     """point_painting must reproduce the reference's torch grid_sample math
     (once_dataset.py:86-122): one-hot seg map, bilinear, zeros padding,

