@@ -12,19 +12,36 @@ rather than the reference's (B, C, N) — which maps C onto TPU lanes.
 import jax.numpy as jnp
 
 
+# Batched row gathers lower much better as ONE flat gather over the
+# (B*N, C) table with globalized indices than as per-batch
+# take_along_axis: identical at B=1, but at B=8 XLA's batched gather
+# emitter costs ~2.3x more per element (on-chip shootout
+# tools/probes/gather_probe.py: L0-scale 7.38 -> 3.23 ms, L1-scale
+# 2.23 -> 1.22 ms).  Backward is the same deterministic scatter-add.
+
+
 def gather_points(features, idx):
     """(B, N, C) x (B, M) int -> (B, M, C)."""
-    return jnp.take_along_axis(features, idx[..., None].astype(jnp.int32), axis=1)
+    B, N, C = features.shape
+    M = idx.shape[1]
+    base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+    return jnp.take(
+        features.reshape(B * N, C),
+        (idx.astype(jnp.int32) + base).reshape(-1),
+        axis=0,
+    ).reshape(B, M, C)
 
 
 def group_points(features, idx):
     """(B, N, C) x (B, M, K) int -> (B, M, K, C)."""
     B, N, C = features.shape
     M, K = idx.shape[1], idx.shape[2]
-    flat = jnp.take_along_axis(
-        features, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1
-    )
-    return flat.reshape(B, M, K, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    return jnp.take(
+        features.reshape(B * N, C),
+        (idx.astype(jnp.int32) + base).reshape(-1),
+        axis=0,
+    ).reshape(B, M, K, C)
 
 
 def gaussian_density(grouped_xyz, centers, radius):

@@ -41,6 +41,11 @@ _BIG = 1e10  # python literal: jnp constants would be captured by the kernel
 # and carrying the distance field as a fori_loop value instead of a
 # VMEM scratch.  16384->4096 sits at ~3.0 ms / ~740 ns a step.
 #
+# Also tried and rejected (round 3): AABB chunk-skip of the distance
+# update (provably bit-exact on x-slab chunks of sorted clouds) -- see
+# the NEGATIVE RESULT note on `_fps_kernel_chunked_lite` below; and
+# G=8 grouping beats G=4 at KITTI b8 (13.5 -> 12.6 ms).
+#
 # What DOES help at larger fields (R >= ~256) and in grouped mode: the
 # phase-split argmax below (_fps_kernel_v2) -- per-lane sublane
 # reductions first (column max / first-row / coordinate payloads), then
@@ -219,6 +224,89 @@ def _fps_kernel_grouped(npoint, G, xs_ref, ys_ref, zs_ref, out_ref,
 
     jax.lax.fori_loop(1, npoint, body, tuple(seed(g) for g in range(G)),
                       unroll=False)
+
+
+def _fps_kernel_chunked_lite(npoint, C, xs_ref, ys_ref, zs_ref, out_ref,
+                             temp_ref, stat_ref):
+    """Update-only chunk skip: the `t = min(t, d)` update of an x-slab
+    chunk is skipped when dist(center, chunk AABB)^2 >= the chunk's max(t)
+    (bit-exact: then d >= lb >= max(t) >= t elementwise so min(t, d) == t,
+    ties included — the streamed ball query's AABB-skip argument); the
+    SELECT stays the global phase-split over the full field.
+
+    NEGATIVE RESULT, kept as the validated archive of the attack
+    (VERDICT r2 next#3 suggested it): measured on v5e at ONCE
+    60032->16384 sorted-x, this lite variant runs 26.6-29.6 ms
+    (C=2/4/8) and a full variant with per-chunk cached argmax summaries
+    27-35 ms, both SLOWER than the plain phase-split kernel (25.9) and
+    the grouped G=2 kernel (23.1) — the per-step scalar SMEM branch
+    chain (C `pl.when`s serialized against the vector pipeline) plus the
+    summary/chunk-max recomputation cost more than the skipped tail
+    updates save.  Outputs verified bit-identical to
+    `farthest_point_sample_pallas` for all C.  Dispatch keeps the
+    grouped/phase-split kernels."""
+    R = xs_ref.shape[1]
+    N = R * _LANES
+    P = out_ref.shape[1]
+    Rc = R // C
+    rowio = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    laneio = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lin_out = jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 0) * _LANES + \
+        jax.lax.broadcasted_iota(jnp.int32, (P, _LANES), 1)
+
+    temp_ref[:, :] = jnp.full((R, _LANES), _BIG, dtype=jnp.float32)
+    out_ref[0, :, :] = jnp.zeros((P, _LANES), dtype=jnp.int32)
+    xs_all = xs_ref[0, :, :]
+    ys_all = ys_ref[0, :, :]
+    zs_all = zs_ref[0, :, :]
+
+    for c in range(C):
+        stat_ref[c, 0] = _BIG
+        stat_ref[c, 1] = jnp.min(xs_ref[0, c * Rc:(c + 1) * Rc, :])
+        stat_ref[c, 2] = jnp.max(xs_ref[0, c * Rc:(c + 1) * Rc, :])
+        stat_ref[c, 3] = jnp.min(ys_ref[0, c * Rc:(c + 1) * Rc, :])
+        stat_ref[c, 4] = jnp.max(ys_ref[0, c * Rc:(c + 1) * Rc, :])
+        stat_ref[c, 5] = jnp.min(zs_ref[0, c * Rc:(c + 1) * Rc, :])
+        stat_ref[c, 6] = jnp.max(zs_ref[0, c * Rc:(c + 1) * Rc, :])
+
+    def body(j, carry):
+        cx, cy, cz = carry
+        for c in range(C):
+            dxl = jnp.maximum(
+                jnp.maximum(stat_ref[c, 1] - cx, cx - stat_ref[c, 2]), 0.0)
+            dyl = jnp.maximum(
+                jnp.maximum(stat_ref[c, 3] - cy, cy - stat_ref[c, 4]), 0.0)
+            dzl = jnp.maximum(
+                jnp.maximum(stat_ref[c, 5] - cz, cz - stat_ref[c, 6]), 0.0)
+            lb = dxl * dxl + dyl * dyl + dzl * dzl
+
+            @pl.when(lb < stat_ref[c, 0])
+            def _update(c=c):
+                xs = xs_ref[0, c * Rc:(c + 1) * Rc, :]
+                ys = ys_ref[0, c * Rc:(c + 1) * Rc, :]
+                zs = zs_ref[0, c * Rc:(c + 1) * Rc, :]
+                dx = xs - cx
+                dy = ys - cy
+                dz = zs - cz
+                d = dx * dx + dy * dy + dz * dz
+                t = jnp.minimum(temp_ref[c * Rc:(c + 1) * Rc, :], d)
+                temp_ref[c * Rc:(c + 1) * Rc, :] = t
+                stat_ref[c, 0] = jnp.max(t)
+
+        t = temp_ref[:, :]
+        bestlin, ncx, ncy, ncz = _phase_split_select(
+            t, xs_all, ys_all, zs_all, rowio, laneio, R, N
+        )
+        out_ref[0, :, :] = jnp.where(lin_out == j, bestlin, out_ref[0, :, :])
+        return (ncx, ncy, ncz)
+
+    sel0 = (rowio == 0) & (laneio == 0)
+    c0 = (
+        jnp.sum(jnp.where(sel0, xs_all, 0.0)),
+        jnp.sum(jnp.where(sel0, ys_all, 0.0)),
+        jnp.sum(jnp.where(sel0, zs_all, 0.0)),
+    )
+    jax.lax.fori_loop(1, npoint, body, c0, unroll=False)
 
 
 @partial(jax.jit, static_argnames=("npoint", "group"))

@@ -145,7 +145,15 @@ def gather_matmul_conv(features, nbr_idx, weight):
         (B, Q, C_out).
     """
     safe = jnp.maximum(nbr_idx, 0)
-    g = jax.vmap(lambda f, i: f[i])(features, safe)  # (B, Q, K, C)
+    # one flat gather over the (B*V, C) table: XLA's batched row-gather
+    # emitter costs ~2.3x more per element at B>1 (ops/grouping.py note)
+    B_, V, C_in = features.shape
+    base = (jnp.arange(B_, dtype=jnp.int32) * V)[:, None, None]
+    g = jnp.take(
+        features.reshape(B_ * V, C_in),
+        (safe.astype(jnp.int32) + base).reshape(-1),
+        axis=0,
+    ).reshape(safe.shape + (C_in,))  # (B, Q, K, C)
     g = jnp.where((nbr_idx >= 0)[..., None], g, 0.0)
     B, Q, K, C = g.shape
     return jax.lax.dot_general(
