@@ -27,6 +27,7 @@ import flax.linen as nn
 from ...norm import BatchNorm
 import jax
 import jax.numpy as jnp
+from ....ops.maxpool import max_first, max_first_keepdims
 
 from ....ops.ball_query import ball_query_multi
 from ....ops.grouping import gather_points, group_points
@@ -195,7 +196,7 @@ class MaskedSAModuleMSG(nn.Module):
             else:
                 grouped = grouped_xyz
             h = MLPStack(tuple(self.mlps[i]), name=f"mlps_{i}")(grouped, train)
-            h = jnp.max(h, axis=2)  # (B, M, c_out)
+            h = max_first(h, 2)  # (B, M, c_out); torch max_pool tie grads
             outs.append(jnp.where(nonempty[..., None], h, 0.0))
         return jnp.concatenate(outs, axis=-1)
 

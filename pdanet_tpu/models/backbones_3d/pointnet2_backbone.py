@@ -9,6 +9,7 @@ from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ...ops.maxpool import max_first, max_first_keepdims
 
 from ...ops.ball_query import ball_query_multi
 from ...ops.grouping import gather_points, group_points
@@ -44,7 +45,7 @@ class PointnetSAModuleMSG(nn.Module):
                 else grouped_xyz
             )
             h = MLPStack(tuple(self.mlps[i][1:]), name=f"mlps_{i}")(grouped, train)
-            outs.append(jnp.max(h, axis=2))
+            outs.append(max_first(h, 2))  # torch max_pool tie grads
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -12,6 +12,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 from ...norm import BatchNorm
 import jax.numpy as jnp
+from ....ops.maxpool import max_first, max_first_keepdims
 
 
 class PFNLayer(nn.Module):
@@ -40,7 +41,7 @@ class PFNLayer(nn.Module):
         else:
             h = nn.Dense(out, use_bias=True, name="linear")(x)
         h = nn.relu(h)
-        h_max = jnp.max(h, axis=2, keepdims=True)  # (B, V, 1, C')
+        h_max = max_first_keepdims(h, 2)  # (B, V, 1, C'); torch tie grads
         if self.last_layer:
             return h_max
         return jnp.concatenate(

@@ -17,6 +17,7 @@ import flax.linen as nn
 from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
+from ...ops.maxpool import max_first, max_first_keepdims
 
 from ...ops.ball_query import ball_query
 from ...ops.geometry import rotate_points_along_z
@@ -71,7 +72,7 @@ class SAStage(nn.Module):
             new_xyz = jnp.zeros_like(xyz[:, :1, :])
             grouped = jnp.concatenate([xyz, features], axis=-1)[:, None]
         h = _MLP(tuple(self.mlp), self.use_bn, name="mlp")(grouped, train)
-        return new_xyz, jnp.max(h, axis=2)
+        return new_xyz, max_first(h, 2)  # torch max_pool tie grads
 
 
 class PointRCNNHeadNet(nn.Module):

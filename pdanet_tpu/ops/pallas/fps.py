@@ -42,8 +42,12 @@ _BIG = 1e10  # python literal: jnp constants would be captured by the kernel
 # VMEM scratch.  16384->4096 sits at ~3.0 ms / ~740 ns a step.
 #
 # Also tried and rejected (round 3): AABB chunk-skip of the distance
-# update (provably bit-exact on x-slab chunks of sorted clouds) -- see
-# the NEGATIVE RESULT note on `_fps_kernel_chunked_lite` below; and
+# update (provably bit-exact on x-slab chunks of sorted clouds; the
+# spatial-pruning idea of the FlashFPS/FuseFPS GPU papers,
+# arxiv 2604.17720 / 2309.05017) -- see the NEGATIVE RESULT note on
+# `_fps_kernel_chunked_lite` below: on the VPU's predication-only
+# execution model, per-chunk scalar branches serialize against the
+# vector pipeline and cost more than the skipped tail updates save.
 # G=8 grouping beats G=4 at KITTI b8 (13.5 -> 12.6 ms).
 #
 # What DOES help at larger fields (R >= ~256) and in grouped mode: the
