@@ -181,6 +181,21 @@ def main():
     headline_fps = 1.0 / t
     results["kitti_b1_e2e_fps"] = round(headline_fps, 2)
 
+    # deployment sizing: peak temp memory of the single-forward graph
+    try:
+        single = jax.jit(
+            lambda v, p: model.apply(v, p, train=False)["batch_box_preds"]
+        )
+        mem = single.lower(variables, pts_l).compile().memory_analysis()
+        tmp = getattr(mem, "temp_size_in_bytes", None)
+        arg = getattr(mem, "argument_size_in_bytes", None)
+        if tmp is not None:
+            results["kitti_b1_forward_temp_mb"] = round(tmp / 1e6, 1)
+        if arg is not None:
+            results["kitti_b1_forward_args_mb"] = round(arg / 1e6, 1)
+    except Exception:
+        pass
+
     # ---- ONCE b2 forward --------------------------------------------------
     try:
         ocfg, omodel = build_model("tools/cfgs/once_models/PDA-SSD.yaml")
