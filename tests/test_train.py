@@ -167,6 +167,36 @@ def test_checkpoint_roundtrip(train_setup, tmp_path):
     assert int(restored.step) == 123
 
 
+def test_training_is_bitwise_deterministic(train_setup):
+    """Two runs of the same 4 train steps from the same state produce
+    BITWISE-identical params, losses, and BN stats.  The reference cannot
+    make this claim: its CUDA backward kernels accumulate with atomicAdd
+    (group_points_gpu.cu:14-31), so gradients vary run to run.  Here every
+    scatter-add is a deterministic XLA reduction — cross-implementation
+    trajectory chaos (see test_train_trajectory_twin) does NOT mean
+    within-implementation nondeterminism."""
+    cfg, model, tx, state, pts, gt = train_setup
+    step = jax.jit(make_train_step(model, tx, cfg, 3))
+
+    finals = []
+    for _ in range(2):
+        s = _fresh(state)
+        losses = []
+        for it in range(4):
+            s, loss, _ = step(s, {"points": pts + it * 1e-3, "gt_boxes": gt})
+            losses.append(np.asarray(loss).copy())
+        finals.append((losses, jax.tree.map(np.asarray, s.params),
+                       jax.tree.map(np.asarray, s.batch_stats)))
+
+    (l1, p1, b1), (l2, p2, b2) = finals
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_checkpoint_corrupt_fallback(train_setup, tmp_path):
     """Crash injection (VERDICT r2 next#7): truncate the newest checkpoint
     mid-'write'; auto-resume must detect it (CRC / unpickle failure) and fall
