@@ -82,11 +82,10 @@ def lidar_like_cloud(seed, B, N, x_range=(0.0, 70.4), y_range=(-40.0, 40.0)):
     intensity = rs.rand(N, 1).astype(np.float32)
     cloud = np.concatenate([pts, intensity], -1)
 
-    out = np.stack(
-        [cloud[np.argsort(cloud[:, 0], kind="stable")] for _ in range(B)]
-    )
-    # per-frame jitter so batch frames differ
-    out[:, :, :3] += rs.randn(B, 1, 3).astype(np.float32) * 0.05
+    # distinct frames: per-point jitter (so batch frames genuinely differ),
+    # then the pipeline's x-sort
+    out = np.stack([cloud] * B)
+    out[:, :, :3] += rs.randn(B, N, 3).astype(np.float32) * 0.05
     for b in range(B):
         out[b] = out[b][np.argsort(out[b, :, 0], kind="stable")]
     return out

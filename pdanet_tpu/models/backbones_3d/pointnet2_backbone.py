@@ -9,7 +9,7 @@ from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
-from ...ops.maxpool import max_first, max_first_keepdims
+from ...ops.maxpool import max_first
 
 from ...ops.ball_query import ball_query_multi
 from ...ops.grouping import gather_points, group_points

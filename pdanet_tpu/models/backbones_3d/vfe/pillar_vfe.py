@@ -12,7 +12,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 from ...norm import BatchNorm
 import jax.numpy as jnp
-from ....ops.maxpool import max_first, max_first_keepdims
+from ....ops.maxpool import max_first_keepdims
 
 
 class PFNLayer(nn.Module):

@@ -115,10 +115,18 @@ class BatchNorm(nn.BatchNorm):
                 # (aten native_batch_norm: var_sum / (n - 1)); n counts the
                 # reduced elements.  Under pjit/GSPMD x.shape is the global
                 # shape, matching a cross-replica (SyncBN-like) n.
-                n = 1
-                for ax in reduction_axes:
-                    n *= x.shape[ax]
-                unbiased = var * (n / max(n - 1, 1))
+                if mask is not None:
+                    # masked stats: n is the per-feature masked count
+                    n_arr = jnp.sum(
+                        jnp.broadcast_to(mask, x.shape).astype(jnp.float32),
+                        axis=reduction_axes,
+                    )
+                    unbiased = var * (n_arr / jnp.maximum(n_arr - 1.0, 1.0))
+                else:
+                    n = 1
+                    for ax in reduction_axes:
+                        n *= x.shape[ax]
+                    unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )

@@ -17,7 +17,7 @@ import flax.linen as nn
 from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
-from ...ops.maxpool import max_first, max_first_keepdims
+from ...ops.maxpool import max_first
 
 from ...ops.ball_query import ball_query
 from ...ops.geometry import rotate_points_along_z

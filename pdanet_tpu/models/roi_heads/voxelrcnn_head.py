@@ -24,6 +24,7 @@ import flax.linen as nn
 from ..norm import BatchNorm
 import jax
 import jax.numpy as jnp
+from ...ops.maxpool import max_first
 import numpy as np
 
 from ...utils.easydict import EasyDict
@@ -110,7 +111,7 @@ class NeighborGridPool(nn.Module):
                            epsilon=1e-5, name="bn_pos")(pos)
         h = nn.relu(gathered + pos)
         h = jnp.where(valid[..., None], h, 0.0)
-        h = jnp.max(h, axis=2)  # (B, G, c_mid)
+        h = max_first(h, 2)  # (B, G, c_mid); torch max_pool tie grads
 
         h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
         h = BatchNorm(use_running_average=not train, momentum=0.9,
@@ -221,7 +222,7 @@ class SparseNeighborGridPool(nn.Module):
                            epsilon=1e-5, name="bn_pos")(pos)
         h = nn.relu(gathered + pos)
         h = jnp.where(valid_k[..., None], h, 0.0)
-        h = jnp.max(h, axis=2)
+        h = max_first(h, 2)  # torch max_pool tie grads
 
         h = nn.Dense(c_out, use_bias=False, name="mlp_out")(h)
         h = BatchNorm(use_running_average=not train, momentum=0.9,

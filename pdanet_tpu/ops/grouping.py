@@ -24,11 +24,13 @@ def gather_points(features, idx):
     """(B, N, C) x (B, M) int -> (B, M, C)."""
     B, N, C = features.shape
     M = idx.shape[1]
+    # clamp preserves take_along_axis's out-of-range semantics (a stray
+    # index stays within ITS OWN batch row range instead of silently
+    # reading a neighboring frame through the flat table)
+    safe = jnp.clip(idx.astype(jnp.int32), 0, N - 1)
     base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
     return jnp.take(
-        features.reshape(B * N, C),
-        (idx.astype(jnp.int32) + base).reshape(-1),
-        axis=0,
+        features.reshape(B * N, C), (safe + base).reshape(-1), axis=0,
     ).reshape(B, M, C)
 
 
@@ -36,11 +38,10 @@ def group_points(features, idx):
     """(B, N, C) x (B, M, K) int -> (B, M, K, C)."""
     B, N, C = features.shape
     M, K = idx.shape[1], idx.shape[2]
+    safe = jnp.clip(idx.astype(jnp.int32), 0, N - 1)  # see gather_points
     base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
     return jnp.take(
-        features.reshape(B * N, C),
-        (idx.astype(jnp.int32) + base).reshape(-1),
-        axis=0,
+        features.reshape(B * N, C), (safe + base).reshape(-1), axis=0,
     ).reshape(B, M, K, C)
 
 

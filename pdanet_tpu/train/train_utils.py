@@ -188,16 +188,28 @@ def load_checkpoint(filename):
         with open(filename, "rb") as f:
             obj = pickle.load(f)
     except (pickle.UnpicklingError, EOFError, AttributeError, MemoryError,
-            ValueError) as e:
+            ValueError, OSError) as e:
         raise CheckpointError(f"unreadable checkpoint {filename}: {e}") from e
     if isinstance(obj, dict) and "__pdanet_ckpt_format__" in obj:
-        payload = obj["payload"]
-        if zlib.crc32(payload) != obj["crc32"]:
+        try:
+            payload = obj["payload"]
+            crc = obj["crc32"]
+        except KeyError as e:
+            raise CheckpointError(
+                f"v2 checkpoint {filename} missing field {e}"
+            ) from e
+        if zlib.crc32(payload) != crc:
             raise CheckpointError(
                 f"checksum mismatch in {filename} "
                 f"(format v{obj['__pdanet_ckpt_format__']})"
             )
-        return pickle.loads(payload)
+        try:
+            return pickle.loads(payload)
+        except (pickle.UnpicklingError, EOFError, AttributeError,
+                MemoryError, ValueError) as e:
+            raise CheckpointError(
+                f"corrupt payload in {filename}: {e}"
+            ) from e
     return obj  # v1: bare pickled dict
 
 

@@ -64,9 +64,8 @@ def main():
         emeta = {m.id: m.name for m in plane.event_metadata.values()}
         agg = defaultdict(float)
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Ops" not in line.name \
-                    and "step" in line.name.lower():
-                continue
+            if line.name != "XLA Ops":  # sync op timeline only (async
+                continue                # lines double-count module spans)
             for ev in line.events:
                 name = emeta.get(ev.metadata_id, "?")
                 agg[name] += ev.duration_ps / 1e12

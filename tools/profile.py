@@ -111,10 +111,13 @@ def main():
     elif args.mode == "e2e":
         from pdanet_tpu.models.detectors.iassd import post_processing
 
-        fn = jax.jit(lambda v, p: post_processing(
-            model.apply(v, p, train=False)["batch_cls_preds"],
-            model.apply(v, p, train=False)["batch_box_preds"],
-            cfg.MODEL.POST_PROCESSING))
+        def _e2e(v, p):
+            out = model.apply(v, p, train=False)
+            return post_processing(
+                out["batch_cls_preds"], out["batch_box_preds"],
+                cfg.MODEL.POST_PROCESSING)
+
+        fn = jax.jit(_e2e)
         call = lambda i: np.asarray(
             fn(variables, pts + i * 1e-7)["pred_scores"])
     else:
