@@ -313,6 +313,64 @@ OPTIMIZATION:
 """
 
 
+def test_pth_converter_cli_to_eval(cli_env, tmp_path):
+    """The FILE-level checkpoint-conversion loop (the closest achievable
+    form of 'real .pth -> eval' without a public reference checkpoint):
+    a reference-shaped torch twin's state_dict is torch.save'd in the
+    reference's on-disk wrapper schema ({epoch, it, model_state, version},
+    train_utils.py:155-182), converted by the tools/ckpt_converter.py CLI
+    into a framework .pkl, and evaluated by tools/test.py on the
+    mini-KITTI fixture — exercising torch.load, wrapper unpacking,
+    converter dispatch, the converted-.pkl schema contract with the test
+    CLI's loader, and the full eval path from converted weights."""
+    torch = pytest.importorskip("torch")
+    import yaml
+
+    from test_full_model_torch_parity import _build_torch_twin
+
+    from pdanet_tpu.utils.easydict import EasyDict
+
+    root, cfg_file, env = cli_env
+    workdir = tmp_path / "conv"
+    workdir.mkdir()
+
+    cfg = EasyDict(yaml.safe_load(cfg_file.read_text()))
+    torch.manual_seed(11)
+    twin, _meta = _build_torch_twin(
+        torch, cfg.MODEL.BACKBONE_3D.SA_CONFIG, cfg.MODEL.POINT_HEAD,
+        num_class=3, code_size=30)
+    pth = workdir / "reference_style.pth"
+    torch.save(
+        {"epoch": 7, "it": 1234,
+         "model_state": {k: v for k, v in twin.state_dict().items()
+                         if "num_batches" not in k},
+         "optimizer_state": None, "version": "pcdet+0.5.2"},
+        pth,
+    )
+
+    out_pkl = workdir / "converted.pkl"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/ckpt_converter.py"),
+         "--torch_ckpt", str(pth), "--cfg_file", str(cfg_file),
+         "--output", str(out_pkl)],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-1500:]
+    assert out_pkl.exists()
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/test.py"), "--cfg_file",
+         str(cfg_file), "--ckpt", str(out_pkl), "--extra_tag", "converted"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-2000:]
+    results = list((workdir / "output").rglob("result.pkl"))
+    assert results, "no result.pkl from converted checkpoint"
+    with open(results[0], "rb") as f:
+        det_annos = pickle.load(f)
+    assert len(det_annos) == 4
+
+
 def test_pointpillar_cli(cli_env, tmp_path):
     """Second model family (voxel pipeline) through the same CLIs."""
     root, _, env = cli_env
