@@ -7,7 +7,7 @@ xplane proto — the workflow that drove the round-3 batch-scaling work
 (see tools/probes/b8_profile_probe.py for its origin).
 
 Usage:
-  python tools/profile.py --cfg_file tools/cfgs/kitti_models/PDA-SSD.yaml \
+  python tools/profiler.py --cfg_file tools/cfgs/kitti_models/PDA-SSD.yaml \
       [--batch_size 8] [--mode forward|e2e|train] [--repeats 3] [--top 20]
 
 Requires the TPU (the axon plugin); parsing needs
