@@ -24,9 +24,12 @@ def gather_points(features, idx):
     """(B, N, C) x (B, M) int -> (B, M, C)."""
     B, N, C = features.shape
     M = idx.shape[1]
-    # clamp preserves take_along_axis's out-of-range semantics (a stray
-    # index stays within ITS OWN batch row range instead of silently
-    # reading a neighboring frame through the flat table)
+    # NOTE: the clip CHANGES stray-index behavior vs per-batch
+    # take_along_axis (which fills OOB with NaN and wraps negatives):
+    # an out-of-range index now silently reads a clamped in-range row.
+    # The clip is still required so a stray index can never cross into a
+    # neighboring frame's rows through the flat (B*N, C) table; callers
+    # only ever pass in-range indices (ball query / FPS outputs).
     safe = jnp.clip(idx.astype(jnp.int32), 0, N - 1)
     base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
     return jnp.take(

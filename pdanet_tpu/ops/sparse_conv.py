@@ -144,10 +144,12 @@ def gather_matmul_conv(features, nbr_idx, weight):
     Returns:
         (B, Q, C_out).
     """
-    safe = jnp.maximum(nbr_idx, 0)
+    B_, V, C_in = features.shape
+    # two-sided clip (like ops/grouping.py): a stray slot >= V must not
+    # read a neighboring batch's rows through the flat (B*V, C) table
+    safe = jnp.clip(nbr_idx, 0, V - 1)
     # one flat gather over the (B*V, C) table: XLA's batched row-gather
     # emitter costs ~2.3x more per element at B>1 (ops/grouping.py note)
-    B_, V, C_in = features.shape
     base = (jnp.arange(B_, dtype=jnp.int32) * V)[:, None, None]
     g = jnp.take(
         features.reshape(B_ * V, C_in),

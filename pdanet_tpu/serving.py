@@ -43,6 +43,18 @@ def _processor_map(data_cfg):
     return {p["NAME"]: p for p in data_cfg.DATA_PROCESSOR}
 
 
+def test_split_sorts_points(data_cfg):
+    """True iff the pipeline x-sorts clouds on the test split
+    (``data_processor.sort_points``, ENABLED defaults to on).  Exported
+    artifact sidecars record this so ``tools/serve.py`` mirrors the
+    exact serve-time preprocessing."""
+    procs = _processor_map(data_cfg)
+    if "sort_points" not in procs:
+        return False
+    enabled = procs["sort_points"].get("ENABLED", {"train": True, "test": True})
+    return bool(enabled["test"])
+
+
 def _test_budget(value):
     """Processor budgets are either a plain int or a {'train','test'} map."""
     if isinstance(value, dict):
@@ -127,15 +139,9 @@ def example_device_batch(cfg, batch_size, model, seed=0):
         if key == "points":
             pts = np.zeros(shape, np.float32)
             pts[..., :3] = rs.uniform(pc_range[:3], pc_range[3:6], shape[:2] + (3,))
-            if "sort_points" in procs:
-                # mirror the processor's own test-split gate
-                # (data_processor.sort_points: ENABLED defaults to on)
-                enabled = procs["sort_points"].get(
-                    "ENABLED", {"train": True, "test": True}
-                )
-                if enabled["test"]:
-                    order = np.argsort(pts[..., 0], axis=1)
-                    pts = np.take_along_axis(pts, order[..., None], axis=1)
+            if test_split_sorts_points(cfg.DATA_CONFIG):
+                order = np.argsort(pts[..., 0], axis=1)
+                pts = np.take_along_axis(pts, order[..., None], axis=1)
             batch[key] = jnp.asarray(pts)
         elif key == "voxels":
             vox = np.zeros(shape, np.float32)

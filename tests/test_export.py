@@ -137,3 +137,41 @@ def test_voxel_input_spec():
     assert coords[..., 0].max() < 40
     assert coords[..., 1].max() < 1600
     assert coords[..., 2].max() < 1408
+
+
+def test_serve_load_cloud_and_sidecar_flags(tmp_path):
+    """ADVICE r3: tools/serve.py must (a) fail loudly on an empty cloud,
+    (b) mirror the pipeline's sort_points setting recorded in the export
+    sidecar instead of unconditionally x-sorting."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import serve as serve_cli
+
+    # empty cloud -> loud error, not ZeroDivisionError
+    empty = tmp_path / "empty.bin"
+    empty.write_bytes(b"")
+    try:
+        serve_cli.load_cloud(str(empty), 16, 4)
+        raise AssertionError("expected SystemExit on empty cloud")
+    except SystemExit as e:
+        assert "empty point cloud" in str(e)
+
+    pts = np.random.RandomState(0).rand(10, 4).astype(np.float32)
+    f = tmp_path / "c.bin"
+    pts.tofile(f)
+    got_sorted = serve_cli.load_cloud(str(f), 8, 4, sort_points=True)
+    assert np.all(np.diff(got_sorted[:, 0]) >= 0)
+    got_raw = serve_cli.load_cloud(str(f), 8, 4, sort_points=False)
+    # no-sort keeps stride-pick order (not x-sorted for this cloud)
+    assert not np.all(np.diff(got_raw[:, 0]) >= 0)
+
+    # the sidecar flag derivation follows the processor's test gate
+    cfg = _tiny_full_cfg()
+    assert serving.test_split_sorts_points(cfg.DATA_CONFIG) is True
+    cfg.DATA_CONFIG.DATA_PROCESSOR[2]["ENABLED"] = {
+        "train": True, "test": False}
+    assert serving.test_split_sorts_points(cfg.DATA_CONFIG) is False
+    del cfg.DATA_CONFIG.DATA_PROCESSOR[2]
+    assert serving.test_split_sorts_points(cfg.DATA_CONFIG) is False

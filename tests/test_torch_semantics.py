@@ -108,3 +108,46 @@ class TestTorchBatchNorm:
         np.testing.assert_allclose(
             np.asarray(mut["batch_stats"]["var"]),
             tb.running_var.detach().numpy(), rtol=1e-5)
+
+    def test_activation_parity_with_stock_flax(self):
+        """Guard against flax-internals drift (ADVICE r3): our BatchNorm
+        re-implements flax's __call__ via private helpers
+        (_canonicalize_axes/_compute_stats/_normalize); if a flax upgrade
+        changes their semantics, activations must still match stock
+        nn.BatchNorm bit-for-bit (only the RUNNING stats differ)."""
+        import flax.linen as nn
+
+        from pdanet_tpu.models.norm import BatchNorm
+
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.randn(4, 11, 6).astype(np.float32))
+
+        ours = BatchNorm(use_running_average=False, momentum=0.9,
+                         epsilon=1e-5)
+        stock = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                             epsilon=1e-5, use_fast_variance=False)
+        vs = ours.init(jax.random.PRNGKey(0), x)
+        y_ours, mut_ours = ours.apply(vs, x, mutable=["batch_stats"])
+        y_stock, mut_stock = stock.apply(vs, x, mutable=["batch_stats"])
+        # train-mode activations identical (both normalize with the
+        # biased two-pass batch variance)
+        np.testing.assert_array_equal(np.asarray(y_ours),
+                                      np.asarray(y_stock))
+        # running stats differ EXACTLY by the Bessel factor n/(n-1):
+        # recover the biased batch var from stock's EMA (init var = 1.0)
+        n = x.shape[0] * x.shape[1]
+        biased_batch_var = (np.asarray(mut_stock["batch_stats"]["var"])
+                            - 0.9 * 1.0) / 0.1
+        expect_var = 0.9 * 1.0 + 0.1 * biased_batch_var * (n / (n - 1))
+        np.testing.assert_allclose(
+            np.asarray(mut_ours["batch_stats"]["var"]), expect_var,
+            rtol=1e-5)
+        # eval-mode: given identical batch_stats, outputs identical
+        stats = {"batch_stats": mut_ours["batch_stats"]}
+        e_ours = BatchNorm(use_running_average=True, epsilon=1e-5).apply(
+            {**vs, **stats}, x)
+        e_stock = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                               use_fast_variance=False).apply(
+            {**vs, **stats}, x)
+        np.testing.assert_array_equal(np.asarray(e_ours),
+                                      np.asarray(e_stock))

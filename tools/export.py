@@ -137,6 +137,10 @@ def main():
             for k, v in batch.items()
         },
         "outputs": [str(a) for a in exported.out_avals],
+        # serve-time preprocessing contract (tools/serve.py mirrors this)
+        "preprocess": {
+            "sort_points": serving.test_split_sorts_points(cfg.DATA_CONFIG),
+        },
         "jax_version": jax.__version__,
     }
     nbytes = serving.save_serving(exported, out, meta)

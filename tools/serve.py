@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
-def load_cloud(path, n_points, num_feats):
+def load_cloud(path, n_points, num_feats, sort_points=True):
     import numpy as np
 
     if path.endswith(".npy"):
@@ -38,13 +38,17 @@ def load_cloud(path, n_points, num_feats):
         pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
     pts = pts[:, :num_feats].astype(np.float32)
     n = pts.shape[0]
+    if n == 0:
+        raise SystemExit(f"empty point cloud: {path!r} (0 points)")
     if n >= n_points:  # deterministic serve-time subsample: stride pick
         idx = np.linspace(0, n - 1, n_points).astype(np.int64)
         pts = pts[idx]
     else:  # pad by wrapping (duplicates are harmless to the detector)
         reps = -(-n_points // n)
         pts = np.tile(pts, (reps, 1))[:n_points]
-    return pts[np.argsort(pts[:, 0], kind="stable")]
+    if sort_points:  # mirror the pipeline's sort_points step (sidecar flag)
+        pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    return pts
 
 
 def main():
@@ -70,6 +74,9 @@ def main():
             "tools/export.py (which writes the JSON sidecar)"
         )
     B, n_points, num_feats = in_spec["points"]["shape"]
+    # older sidecars lack the preprocess block; default matches the
+    # shipped configs (sort_points ENABLED.test defaults to on)
+    sort_points = meta.get("preprocess", {}).get("sort_points", True)
 
     files = sorted(glob.glob(args.inputs))
     if not files:
@@ -81,7 +88,8 @@ def main():
     for start in range(0, len(files), B):
         batch_files = files[start:start + B]
         batch = np.stack(
-            [load_cloud(f, n_points, num_feats) for f in batch_files]
+            [load_cloud(f, n_points, num_feats, sort_points)
+             for f in batch_files]
             + [np.zeros((n_points, num_feats), np.float32)]
             * (B - len(batch_files))
         )
