@@ -1,6 +1,7 @@
 from . import (  # noqa: F401
     ball_query,
     chamfer,
+    ellipsoid_query,
     geometry,
     grouping,
     interpolate,
@@ -8,6 +9,10 @@ from . import (  # noqa: F401
     roi_pool,
     rotated_iou,
     sampling,
+)
+from .ellipsoid_query import (  # noqa: F401
+    ellipsoid_query as ellipsoid_query_op,
+    query_and_group_ellipsoid,
 )
 from .ball_query import ball_query as ball_query_op  # noqa: F401
 from .ball_query import ball_query_dilated  # noqa: F401
