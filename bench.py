@@ -9,8 +9,13 @@ times, eval_utils.py:56-76) on a LiDAR-like structured cloud.  The
   kitti_b1_forward_fps       raw forward, gaussian cloud (round-1/2 metric,
                              kept for cross-round comparability)
   kitti_b1_e2e_fps           forward + post_processing, LiDAR-like cloud
+  kitti_b8_e2e_ms            batch-8 eval config e2e (forward + NMS)
   once_b2_forward_ms         ONCE config, 2 x 60k points, per batch
+  once_b2_e2e_ms             ONCE forward + in-graph NMS, per batch
   kitti_b2_train_ms          fused train step (fwd+bwd+optax), per step
+  kitti_b2_train_bf16_ms     same with TRAIN_COMPUTE_DTYPE=bf16 (f32 master
+                             weights, bf16 matmuls, f32 norm statistics)
+  once_b2_train_ms           ONCE-scale fused train step, per step
   vs_baseline_at_80fps       sensitivity: the public IA-SSD ~80 fps 2080 Ti
                              figure as denominator instead of 25
 
@@ -195,7 +200,17 @@ def main():
     except Exception:
         pass
 
-    # ---- ONCE b2 forward --------------------------------------------------
+    # ---- KITTI b8 e2e (the tracked batch-8 eval config, BASELINE.md) -------
+    try:
+        pts8 = jnp.asarray(lidar_like_cloud(9, 8, 16384))
+        K = 40
+        e2e8 = e2e_loop(model, cfg.MODEL.POST_PROCESSING, K)
+        t = time_amortized(e2e8, (variables, pts8), K)
+        results["kitti_b8_e2e_ms"] = round(t * 1e3, 2)
+    except Exception as e:
+        results["kitti_b8_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- ONCE b2 forward / e2e ---------------------------------------------
     try:
         ocfg, omodel = build_model("tools/cfgs/once_models/PDA-SSD.yaml")
         opts = jnp.asarray(
@@ -208,34 +223,36 @@ def main():
         ofwd = forward_loop(omodel, K)
         t = time_amortized(ofwd, (ovars, opts), K)
         results["once_b2_forward_ms"] = round(t * 1e3, 2)
+        oe2e = e2e_loop(omodel, ocfg.MODEL.POST_PROCESSING, K)
+        t = time_amortized(oe2e, (ovars, opts), K)
+        results["once_b2_e2e_ms"] = round(t * 1e3, 2)
     except Exception as e:  # keep the headline alive on partial failures
         results["once_b2_forward_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # ---- KITTI b2 fused train step ----------------------------------------
-    try:
+    # ---- fused train steps (KITTI f32 + bf16-compute, ONCE) ----------------
+    def _fake_gt(B, seed=5):
+        gt = np.zeros((B, 40, 8), np.float32)
+        rs = np.random.RandomState(seed)
+        for b in range(B):
+            for m in range(12):
+                gt[b, m] = [rs.uniform(5, 60), rs.uniform(-20, 20),
+                            rs.uniform(-1.2, -0.4), 3.9, 1.6, 1.56,
+                            rs.uniform(-np.pi, np.pi), 1.0]
+        return jnp.asarray(gt)
+
+    def time_train_step(mdl, optim_cfg, pts, gt, K=20):
         from pdanet_tpu.train import (
             build_optimizer_and_schedule,
             create_train_state,
             make_train_step,
         )
 
-        tpts = jnp.asarray(lidar_like_cloud(13, 2, 16384))
         tvars = jax.jit(
-            lambda r, p: model.init({"params": r}, p, train=False)
-        )(rng, tpts)
-        gt = np.zeros((2, 40, 8), np.float32)
-        rs = np.random.RandomState(5)
-        for b in range(2):
-            for m in range(12):
-                gt[b, m] = [rs.uniform(5, 60), rs.uniform(-20, 20),
-                            rs.uniform(-1.2, -0.4), 3.9, 1.6, 1.56,
-                            rs.uniform(-np.pi, np.pi), 1.0]
-        gt = jnp.asarray(gt)
-        tx, _ = build_optimizer_and_schedule(cfg.OPTIMIZATION, 100, 80)
-        state = create_train_state(model, tvars, tx)
-        train_step = make_train_step(model, tx)
-
-        K = 20
+            lambda r, p: mdl.init({"params": r}, p, train=False)
+        )(rng, pts)
+        tx, _ = build_optimizer_and_schedule(optim_cfg, 100, 80)
+        state = create_train_state(mdl, tvars, tx)
+        train_step = make_train_step(mdl, tx)
 
         def k_train(state, points, gt):
             def body(i, carry):
@@ -252,15 +269,49 @@ def main():
             return acc + jnp.sum(leaf)
 
         ktrain = jax.jit(k_train)
-        np.asarray(ktrain(state, tpts, gt))
+        np.asarray(ktrain(state, pts, gt))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(ktrain(state, tpts, gt))
+            np.asarray(ktrain(state, pts, gt))
             best = min(best, (time.perf_counter() - t0) / K)
-        results["kitti_b2_train_ms"] = round(best * 1e3, 2)
+        return best
+
+    tpts = jnp.asarray(lidar_like_cloud(13, 2, 16384))
+    gt2 = _fake_gt(2)
+    try:
+        t = time_train_step(model, cfg.OPTIMIZATION, tpts, gt2)
+        results["kitti_b2_train_ms"] = round(t * 1e3, 2)
     except Exception as e:
         results["kitti_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # bf16 compute (f32 master weights + bf16 matmuls, f32 BN/LN stats) —
+    # BACKBONE_3D.TRAIN_COMPUTE_DTYPE, semantics pinned by
+    # tests/test_train.py::test_bf16_train_compute
+    try:
+        import copy
+
+        from pdanet_tpu.models import build_network as _bn
+
+        cfg16 = copy.deepcopy(cfg)
+        cfg16.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
+        model16 = _bn(cfg16.MODEL, num_class=len(cfg.CLASS_NAMES),
+                      input_channels=4)
+        t = time_train_step(model16, cfg.OPTIMIZATION, tpts, gt2)
+        results["kitti_b2_train_bf16_ms"] = round(t * 1e3, 2)
+    except Exception as e:
+        results["kitti_b2_train_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ONCE train step (VERDICT r3 #4): B=2 x 60000, the reference recipe
+    try:
+        otpts = jnp.asarray(
+            lidar_like_cloud(17, 2, 60000, x_range=(0.0, 75.0))
+        )
+        t = time_train_step(omodel, ocfg.OPTIMIZATION, otpts, _fake_gt(2, 6),
+                            K=8)
+        results["once_b2_train_ms"] = round(t * 1e3, 2)
+    except Exception as e:
+        results["once_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     results["vs_baseline_at_80fps"] = round(headline_fps / REF_2080TI_FPS_HIGH, 3)
     print(

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 from ...ops.rotated_iou import boxes_iou3d, boxes_iou_bev
 
-_INF = jnp.float32(2.0**31)
+import numpy as np
+
+# numpy scalar: module import must not initialize the JAX backend
+_INF = np.float32(2.0**31)
 
 
 def atss_assign_single(anchors, gt_boxes, gt_valid, topk, box_coder,

@@ -15,15 +15,18 @@ batched dense tensors.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 # Corner template, identical ordering to the reference
-# (pcdet/utils/box_utils.py:44-47).
-_CORNER_TEMPLATE = jnp.array(
+# (pcdet/utils/box_utils.py:44-47).  numpy so importing the package
+# never initializes the JAX backend (jax.distributed.initialize must
+# run before backend creation in the multi-process CLIs).
+_CORNER_TEMPLATE = np.array(
     [
         [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
         [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 ) / 2.0
 
 

@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 from .rotated_iou import boxes_iou_bev
 
-NEG_INF = jnp.float32(-jnp.inf)
+import numpy as np
+
+# numpy scalar: module import must not initialize the JAX backend
+NEG_INF = np.float32(-np.inf)
 
 
 def greedy_nms_mask(iou, valid, thresh):

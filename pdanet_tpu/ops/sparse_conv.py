@@ -32,7 +32,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-INVALID = jnp.int32(2**30)
+import numpy as np
+
+# numpy scalar: module import must not initialize the JAX backend
+INVALID = np.int32(2**30)
 
 
 def stage_grids(grid_size):

@@ -300,7 +300,9 @@ def train_model(
                     tb_log.add_scalar(f"train/{k}", float(v), accumulated_iter)
 
         trained_epoch = cur_epoch + 1
-        if trained_epoch % ckpt_save_interval == 0:
+        # rank-0-only checkpoint I/O (reference train_utils.py:141-145);
+        # params are replicated so rank 0's copy is the global state
+        if trained_epoch % ckpt_save_interval == 0 and jax.process_index() == 0:
             ckpt_list = sorted(
                 glob.glob(str(ckpt_save_dir / "checkpoint_epoch_*.pkl")),
                 key=os.path.getmtime,

@@ -73,6 +73,60 @@ def create_logger(log_file=None, rank=0, log_level=logging.INFO):
     return logger
 
 
+def init_dist_jax(tcp_port=18888, logger=None):
+    """Initialize the JAX distributed runtime — counterpart of
+    ``init_dist_pytorch`` / ``init_dist_slurm``
+    (reference common_utils.py:134-176, NCCL there; ICI/DCN collectives
+    here, no backend beyond ``jax.distributed.initialize``).
+
+    Rendezvous, in order of precedence:
+
+    1. **torchrun-style env** (what ``tools/scripts/dist_{train,test}.sh``
+       documents): ``WORLD_SIZE`` / ``RANK`` / ``MASTER_ADDR``
+       [/ ``MASTER_PORT``].  ``MASTER_ADDR`` may carry its own ``:port``.
+    2. **runtime auto-detect** — TPU pods / Slurm / Open MPI, where the
+       cluster plugin supplies coordinator + ranks.
+
+    On the CPU backend, cross-process collectives need the Gloo
+    implementation selected BEFORE the backend initializes; harmless on
+    TPU (flag only affects CPU client creation).
+
+    Returns (process_index, process_count).
+    """
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    world = int(os.environ.get("WORLD_SIZE", "0") or 0)
+    if world > 1:
+        addr = os.environ.get("MASTER_ADDR", "127.0.0.1")
+        if ":" not in addr:
+            addr = f"{addr}:{os.environ.get('MASTER_PORT', tcp_port)}"
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=world,
+            process_id=int(os.environ.get("RANK", "0")),
+        )
+        if jax.default_backend() == "cpu":
+            # Establish the Gloo communicator NOW, while all ranks are in
+            # lockstep: its key-value rendezvous has a ~30 s timeout, and
+            # the first *real* collective sits behind a multi-minute XLA
+            # compile whose duration races across ranks (shared on-disk
+            # compile cache makes one rank compile and the other hit).
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("init_dist_jax")
+    else:
+        try:  # cluster auto-detect (TPU pod / Slurm / OMPI)
+            jax.distributed.initialize()
+        except Exception as e:  # single process: a launcher flag alone
+            if logger is not None:  # is not an error (reference parity:
+                logger.warning(  # dist_train.sh on one host, no env)
+                    "launcher requested but no rendezvous found (%s); "
+                    "running single-process", e)
+    return jax.process_index(), jax.process_count()
+
+
 def set_random_seed(seed):
     random.seed(seed)
     np.random.seed(seed)

@@ -1,0 +1,411 @@
+"""Fixture-scale END-TO-END AP parity (VERDICT r3 "Next round" #1).
+
+The capstone the trajectory-twin work points at: train the torch
+reference twin AND pdanet_tpu SIDE BY SIDE on the mini-KITTI fixture —
+same frozen batch stream, identical initial weights (through the
+checkpoint converter), the reference optimizer recipe on both sides
+(fastai OptimWrapper semantics vs our optax adam_onecycle chain) — for a
+few hundred steps, far past the f32 chaos horizon, then evaluate BOTH
+through the official KITTI eval port and compare Car 3D AP.
+
+What distinguishes this from the trajectory twin
+(test_train_trajectory_twin.py): there the torch side consumed indices
+and targets computed from the FLAX forward each step (index discipline —
+isolates the continuous math, pinned to 1e-5/step).  Here each side is
+INDEPENDENT: the torch twin computes its own sampling (D-FPS through this
+repo's CUDA-semantics-pinned kernel, ctr_aware top-k from its OWN
+confidence logits), its own ball-query neighborhoods around its OWN
+centers, and its own training targets from its OWN votes.  In f32 the
+two trainings diverge trajectory-wise within ~8 steps (the Adam-crumb
+chaos horizon, documented in the trajectory twin) — exactly like the
+reference diverges from itself across CUDA/CPU builds — so the
+comparison is STATISTICAL: both recipes must land detections of the same
+quality through `kitti_object_eval_python.eval.get_official_eval_result`.
+
+Tolerance justification: the north star is Car-moderate 3D AP within 0.3
+of the reference checkpoint at full KITTI scale (BASELINE.json).  At
+fixture scale (4 frames, 4 GT cars) AP is coarse-grained — one missed
+frame moves R40 AP by ~25 points — so the assertion is
+|AP_ours − AP_twin| <= 2.0 (VERDICT r3's suggested starting tolerance):
+it passes only when BOTH trainings detect every car with well-localized
+boxes, and any systematic training-semantics gap (one side collapsing to
+the all-background equilibrium, mis-regressed sizes, bad heading bins)
+shows up as a >=10-AP gap.  A >=50 floor on both sides keeps the test
+from passing on mutual failure.
+
+Reference anchors: training loop `tools/train_utils/train_utils.py:45-64`,
+eval `tools/test.py:60-69` -> `kitti_object_eval_python/eval.py:639`.
+"""
+
+import logging
+import os
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_overfit_e2e import _build_fixture
+
+from pdanet_tpu.utils.easydict import EasyDict
+
+torch = pytest.importorskip("torch")
+
+from test_full_model_torch_parity import (  # noqa: E402
+    _build_torch_twin,
+    _gather_cf,
+    _twin_sa_ellipsoid,
+    _twin_sa_with,
+)
+from test_train_trajectory_twin import (  # noqa: E402
+    RefOptimWrapper,
+    _ref_onecycle,
+    torch_loss,
+)
+
+
+# ---------------------------------------------------------------------------
+# Torch-side self-sampling: the twin computes ITS OWN discrete indices
+# ---------------------------------------------------------------------------
+
+
+def _make_fps(npoint):
+    from pdanet_tpu.ops.sampling import farthest_point_sample
+
+    return jax.jit(partial(farthest_point_sample, npoint=npoint))
+
+
+def _sample_idx_np(sample_types, sample_ranges, npoints, xyz_np, cls_np,
+                   fps_cache):
+    """run_sampling (pointnet2_modules.py:1541-1646) on host arrays.
+
+    D-FPS goes through this repo's CUDA-semantics-pinned kernel;
+    ctr_aware is max-cls top-k with lowest-index tie-break (sigmoid is
+    monotone, so the argsort skips it — torch.topk/lax.top_k order)."""
+    outs, last_end = [], 0
+    B = xyz_np.shape[0]
+    for st, sr, npnt in zip(sample_types, sample_ranges, npoints):
+        if npnt <= 0:
+            continue
+        start = last_end
+        stop = xyz_np.shape[1] if sr == -1 else sr
+        if sr != -1:
+            last_end += sr
+        x = xyz_np[:, start:stop]
+        N = x.shape[1]
+        if N <= npnt:  # no-downsample passthrough (:1562)
+            idx = np.broadcast_to(
+                np.arange(N, dtype=np.int64), (B, N)).copy()
+        elif ("cls" in st) or ("ctr" in st):
+            score = cls_np[:, start:stop].max(-1)
+            idx = np.argsort(-score, axis=1, kind="stable")[:, :npnt]
+        elif "D-FPS" in st:
+            if npnt not in fps_cache:
+                fps_cache[npnt] = _make_fps(npnt)
+            idx = np.asarray(
+                fps_cache[npnt](jnp.asarray(x))).astype(np.int64)
+        else:  # the tiny recipe uses D-FPS + ctr_aware only
+            raise NotImplementedError(st)
+        outs.append(idx + start)
+    return np.concatenate(outs, axis=-1)
+
+
+def torch_forward_auto(twin, layer_meta, sa_cfg, points_np, num_class,
+                       code_size, fps_cache):
+    """The trajectory twin's torch forward, but with every discrete index
+    derived from the torch side's OWN running state (detached) instead of
+    being fed from the flax forward — the independence that makes the AP
+    comparison meaningful.  Gradient flow is identical to torch_forward
+    (indices are non-differentiable constants in both frameworks)."""
+    from pdanet_tpu.ops.ball_query import ball_query_multi
+
+    xyz = torch.from_numpy(points_np[..., :3].copy())
+    feats = torch.from_numpy(points_np[..., 3:].transpose(0, 2, 1).copy())
+    n_layers = len(sa_cfg.NSAMPLE_LIST)
+    enc_xyz, enc_feat = [xyz], [feats]
+    enc_cls = [None]  # per encoder entry: producing layer's cls logits (np)
+    centers = centers_origin = ctr_offsets = None
+    sa_ins = [None] * n_layers
+
+    for k in range(n_layers):
+        mod = twin.backbone_3d.SA_modules[k]
+        li = sa_cfg.LAYER_INPUT[k]
+        xin, fin = enc_xyz[li], enc_feat[li]
+        kind = layer_meta[k][0]
+        if kind == "vote":
+            h = mod.mlp_modules(fin)
+            off = mod.ctr_reg(h).transpose(1, 2)
+            lim = torch.tensor(
+                sa_cfg.MAX_TRANSLATE_RANGE).view(1, 1, 3).to(xyz.dtype)
+            li_xyz = xin + torch.min(torch.max(off, -lim), lim)
+            li_feat = fin
+            centers, centers_origin, ctr_offsets = li_xyz, xin, off
+            enc_xyz.append(li_xyz)
+            enc_feat.append(li_feat)
+            enc_cls.append(None)
+            continue
+
+        # ---- self-computed indices (host, detached) --------------------
+        xin_np = xin.detach().numpy()
+        if sa_cfg.CTR_INDEX[k] != -1:
+            idx = None
+            new_xyz_np = enc_xyz[sa_cfg.CTR_INDEX[k]].detach().numpy()
+        else:
+            idx_np = _sample_idx_np(
+                sa_cfg.SAMPLE_METHOD_LIST[k], sa_cfg.SAMPLE_RANGE_LIST[k],
+                sa_cfg.NPOINT_LIST[k], xin_np, enc_cls[li], fps_cache)
+            idx = torch.from_numpy(idx_np)
+            new_xyz_np = np.take_along_axis(xin_np, idx_np[..., None], 1)
+        idxl = None
+        if len(sa_cfg.RADIUS_LIST[k]) > 0:
+            idxl = [torch.from_numpy(np.asarray(i).astype(np.int64))
+                    for i in ball_query_multi(
+                        tuple(sa_cfg.RADIUS_LIST[k]),
+                        tuple(sa_cfg.NSAMPLE_LIST[k]),
+                        jnp.asarray(xin_np), jnp.asarray(new_xyz_np))]
+
+        # ---- live module (gradients intact) -----------------------------
+        if kind == "gather":
+            li_xyz = _gather_cf(torch, xin.transpose(1, 2), idx).transpose(1, 2)
+            li_feat = _gather_cf(torch, fin, idx)
+            cls = None
+        elif kind == "with":
+            ctr = (enc_xyz[sa_cfg.CTR_INDEX[k]]
+                   if sa_cfg.CTR_INDEX[k] != -1 else None)
+            li_xyz, li_feat, cls = _twin_sa_with(
+                torch, mod, xin, fin, idx, idxl, sa_cfg.NSAMPLE_LIST[k],
+                ctr_xyz=ctr)
+        else:
+            li_xyz, li_feat, cls = _twin_sa_ellipsoid(
+                torch, mod, xin, fin, idx, idxl, sa_cfg.RADIUS_LIST[k],
+                sa_cfg.NSAMPLE_LIST[k], layer_meta[k][1])
+        sa_ins[k] = cls
+        enc_xyz.append(li_xyz)
+        enc_feat.append(li_feat)
+        enc_cls.append(
+            cls.detach().numpy() if cls is not None else None)
+
+    cf = enc_feat[-1]
+    B, C, M = cf.shape
+    flat = cf.transpose(1, 2).reshape(B * M, C)
+    cls_preds = twin.point_head.cls_center_layers(flat).reshape(B, M, num_class)
+    box_preds = twin.point_head.box_center_layers(flat).reshape(B, M, code_size)
+
+    vote_pos = list(sa_cfg.LAYER_TYPE).index("Vote_Layer") + 1
+    coords = (list(enc_xyz[:vote_pos]) + [centers_origin]
+              + list(enc_xyz[vote_pos:]))
+
+    return {
+        "_centers_features": cf,
+        "center_cls_preds": cls_preds,
+        "center_box_preds": box_preds,
+        "centers": centers,
+        "centers_origin": centers_origin,
+        "ctr_offsets": ctr_offsets,
+        "sa_ins_preds": sa_ins,
+        "encoder_coords": coords,
+    }
+
+
+# ---------------------------------------------------------------------------
+# The AP parity test
+# ---------------------------------------------------------------------------
+
+
+def _eval_ap(cfg, root, model, variables, tag, out_dir):
+    """Official-eval one epoch; returns the KITTI result dict."""
+    from pdanet_tpu.datasets import build_dataloader
+    from pdanet_tpu.eval.eval_utils import eval_one_epoch
+
+    _, loader, _ = build_dataloader(
+        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+        batch_size=2, training=False, root_path=root,
+    )
+    logger = logging.getLogger(f"ap_parity_{tag}")
+    logger.setLevel(logging.WARNING)
+    full = EasyDict({"MODEL": cfg.MODEL})
+    return eval_one_epoch(
+        full, model, variables, loader, epoch_id=tag, logger=logger,
+        result_dir=out_dir / tag,
+    )
+
+
+@pytest.mark.slow
+def test_fixture_scale_ap_parity(tmp_path):
+    from ckpt_converter import convert_checkpoint
+
+    from pdanet_tpu.datasets import build_dataloader
+    from pdanet_tpu.models import build_network
+    from pdanet_tpu.models.dense_heads import iassd_head
+    from pdanet_tpu.parallel import make_data_mesh, replicate, shard_batch
+    from pdanet_tpu.train import (
+        build_optimizer_and_schedule,
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+    from pdanet_tpu.train.train_utils import select_device_batch
+    from pdanet_tpu.utils.box_coder_utils import build_box_coder
+    from test_cli import TINY_CFG
+
+    # ---- fixture + overfit-proven recipe (test_overfit_e2e) -------------
+    root, cfg = _build_fixture(tmp_path, TINY_CFG)
+    cfg.MODEL.BACKBONE_3D.SA_CONFIG.NPOINT_LIST = [
+        [256], [128], [96], [64], [-1], [64]]
+    cfg.OPTIMIZATION.LR = 0.003
+    # full run: 250 (the overfit-proven step count); the env override
+    # exists for mechanics-only smoke debugging (AP asserts then fail)
+    epochs = int(os.environ.get("AP_PARITY_EPOCHS", "250"))
+
+    num_class, code_size = 3, 30
+    sa_cfg = EasyDict(cfg.MODEL.BACKBONE_3D).SA_CONFIG
+    head_cfg = EasyDict(cfg.MODEL.POINT_HEAD)
+    box_coder = build_box_coder(
+        head_cfg.TARGET_CONFIG.BOX_CODER,
+        head_cfg.TARGET_CONFIG.BOX_CODER_CONFIG)
+    mean_size_t = torch.tensor(
+        np.asarray(head_cfg.TARGET_CONFIG.BOX_CODER_CONFIG["mean_size"],
+                   np.float32))
+    bin_size = box_coder.bin_size
+
+    # ---- identical init on both sides (through the converter) -----------
+    torch.manual_seed(7)
+    twin, layer_meta = _build_torch_twin(
+        torch, sa_cfg, cfg.MODEL.POINT_HEAD, num_class, code_size)
+    with torch.no_grad():  # off-kink norm biases (trajectory-twin note)
+        for m in twin.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                              torch.nn.LayerNorm)):
+                m.bias.uniform_(-0.3, 0.3)
+                m.weight.uniform_(0.9, 1.1)
+    twin.train()
+    sd0 = {k: v.detach().numpy().copy() for k, v in twin.state_dict().items()
+           if "num_batches" not in k}
+    variables0 = convert_checkpoint(
+        sd0, EasyDict(cfg.MODEL), num_class=num_class, input_channels=4)
+    variables0 = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), variables0)
+
+    # ---- frozen shared batch stream (aug disabled by _build_fixture) ----
+    np.random.seed(0)
+    ds, loader, _ = build_dataloader(
+        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+        batch_size=4, training=True, root_path=root,
+    )
+    model = build_network(cfg.MODEL, num_class=num_class, dataset=ds)
+    batches = list(loader)
+
+    # ---- flax side: the real training chain ------------------------------
+    tx, _ = build_optimizer_and_schedule(
+        cfg.OPTIMIZATION, len(batches), epochs)
+    state = create_train_state(model, dict(variables0), tx)
+    mesh = make_data_mesh(jax.devices()[:1])
+    step = jit_train_step(make_train_step(model, tx), mesh)
+    state = replicate(mesh, state)
+    loss_j = None
+    for ep in range(epochs):
+        for b in batches:
+            dev = shard_batch(mesh, select_device_batch(b, model))
+            state, loss_j, tb = step(state, dev)
+        if ep % 50 == 0 or ep == epochs - 1:
+            print(f"[flax] ep {ep} loss {float(loss_j):.3f}")
+    assert np.isfinite(float(loss_j))
+    trained_ours = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+
+    # ---- torch side: reference recipe, self-computed indices ------------
+    total_steps = len(batches) * epochs
+    ref_lr, ref_mom = _ref_onecycle(
+        total_steps, cfg.OPTIMIZATION.LR,
+        list(cfg.OPTIMIZATION.MOMS), cfg.OPTIMIZATION.DIV_FACTOR,
+        cfg.OPTIMIZATION.PCT_START)
+    t_opt = RefOptimWrapper(twin, wd=cfg.OPTIMIZATION.WEIGHT_DECAY)
+    fps_cache = {}
+    n_layers = len(sa_cfg.NSAMPLE_LIST)
+    target_cfg = head_cfg.TARGET_CONFIG
+    # [input, L0..L3, centers_origin, centers, L5]: n_layers + input +
+    # the vote layer's centers_origin insert (iassd_backbone.py:537-546)
+    coords_len = n_layers + 2
+
+    @jax.jit
+    def targets_fn(centers, centers_origin, coords, gt):
+        out = {
+            "centers": centers, "centers_origin": centers_origin,
+            "encoder_coords": list(coords),
+            "sa_ins_preds": [None] * n_layers,
+        }
+        return iassd_head.assign_targets(
+            out, gt, target_cfg, box_coder, num_class)
+
+    it = 0
+    loss_t = None
+    for ep in range(epochs):
+        for b in batches:
+            pts_np = np.asarray(b["points"], np.float32)
+            gt_np = np.asarray(b["gt_boxes"], np.float32)
+            lr, mom = ref_lr(it), ref_mom(it)  # stepped BEFORE forward (:34)
+            t_opt.set_schedule(lr, mom)
+            t_opt.zero_grad()
+            fr = torch_forward_auto(
+                twin, layer_meta, sa_cfg, pts_np, num_class, code_size,
+                fps_cache)
+            coords_np = tuple(
+                jnp.asarray(c.detach().numpy()) for c in fr["encoder_coords"])
+            assert len(coords_np) == coords_len
+            targets = targets_fn(
+                jnp.asarray(fr["centers"].detach().numpy()),
+                jnp.asarray(fr["centers_origin"].detach().numpy()),
+                coords_np, jnp.asarray(gt_np))
+            tgt = {}
+            for key in ("center_cls_labels", "center_box_labels",
+                        "center_gt_box_of_points", "center_pos_mask",
+                        "center_origin_cls_labels",
+                        "gt_box_of_center_origin"):
+                tgt[key] = torch.from_numpy(np.asarray(targets[key]).copy())
+            for key in ("sa_ins_labels", "sa_gt_box_of_points",
+                        "sa_pos_masks"):
+                tgt[key] = [torch.from_numpy(np.asarray(x).copy())
+                            for x in targets[key]]
+            loss_t, _parts = torch_loss(
+                fr, tgt, head_cfg, num_class, mean_size_t, bin_size)
+            loss_t.backward()
+            torch.nn.utils.clip_grad_norm_(
+                twin.parameters(), cfg.OPTIMIZATION.GRAD_NORM_CLIP)
+            t_opt.step()
+            it += 1
+        if ep % 50 == 0 or ep == epochs - 1:
+            print(f"[torch] ep {ep} loss {float(loss_t.detach()):.3f}")
+    assert np.isfinite(float(loss_t.detach()))
+
+    # ---- eval BOTH through the official KITTI eval port ------------------
+    sd1 = {k: v.detach().numpy().copy() for k, v in twin.state_dict().items()
+           if "num_batches" not in k}
+    trained_twin = convert_checkpoint(
+        sd1, EasyDict(cfg.MODEL), num_class=num_class, input_channels=4)
+    trained_twin = jax.tree.map(
+        lambda x: np.asarray(x, np.float32), trained_twin)
+
+    ret_ours = _eval_ap(cfg, root, model, trained_ours, "ours", tmp_path)
+    ret_twin = _eval_ap(cfg, root, model, trained_twin, "twin", tmp_path)
+
+    keys = sorted(
+        k for k in set(ret_ours) | set(ret_twin)
+        if k.startswith(("Car_3d", "Car_bev", "recall/"))
+    )
+    print(f"\nAP parity table (fixture scale, 4 frames, {epochs} steps):")
+    print(f"{'metric':28s} {'pdanet_tpu':>12s} {'torch twin':>12s} {'delta':>8s}")
+    for k in keys:
+        a, b = ret_ours.get(k, float("nan")), ret_twin.get(k, float("nan"))
+        print(f"{k:28s} {a:12.2f} {b:12.2f} {a - b:8.2f}")
+
+    ap_ours = ret_ours["Car_3d/moderate_R40"]
+    ap_twin = ret_twin["Car_3d/moderate_R40"]
+    assert ap_ours >= 50.0, f"our training failed to detect: AP={ap_ours}"
+    assert ap_twin >= 50.0, f"twin training failed to detect: AP={ap_twin}"
+    assert abs(ap_ours - ap_twin) <= 2.0, (
+        f"Car-moderate 3D AP diverged: ours={ap_ours:.2f} "
+        f"twin={ap_twin:.2f}")

@@ -67,7 +67,7 @@ def eval_single_ckpt(cfg, args, model, test_loader, eval_output_dir, logger,
     return eval_one_epoch(
         cfg, model, variables, test_loader, epoch_id, logger,
         result_dir=eval_output_dir, save_to_file=args.save_to_file,
-        infer_time=args.infer_time,
+        infer_time=args.infer_time, dist_test=jax.process_count() > 1,
     )
 
 
@@ -89,6 +89,13 @@ def main():
     from pdanet_tpu.datasets import build_dataloader
     from pdanet_tpu.models import build_network
     from pdanet_tpu.utils import common_utils
+
+    if args.launcher != "none":
+        # multi-process eval: per-rank loader shard (pad + stride, the
+        # reference DistributedSampler semantics, datasets/__init__.py:
+        # 24-44 there) + pickle-file merge in eval_one_epoch.  Reference:
+        # tools/test.py:149-163.
+        common_utils.init_dist_jax(args.tcp_port)
 
     output_dir = Path("output") / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -118,6 +125,9 @@ def main():
         batch_size=batch_size,
         training=False,
         logger=logger,
+        workers=args.workers,
+        rank=jax.process_index(),
+        world=jax.process_count(),
     )
     model = build_network(
         cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
@@ -158,8 +168,9 @@ def main():
             cfg, args, model, test_loader, cur_result_dir, logger,
             cur_epoch_id, cur_ckpt,
         )
-        with open(ckpt_record_file, "a") as f:
-            print("%s" % cur_epoch_id, file=f)
+        if jax.process_index() == 0:  # rank-0-only record bookkeeping
+            with open(ckpt_record_file, "a") as f:
+                print("%s" % cur_epoch_id, file=f)
         logger.info("Epoch %s has been evaluated" % cur_epoch_id)
 
 

@@ -80,8 +80,8 @@ def main():
     )
     from pdanet_tpu.utils import common_utils
 
-    if args.launcher in ("slurm", "jax") and os.environ.get("WORLD_SIZE"):
-        jax.distributed.initialize()
+    if args.launcher != "none":
+        common_utils.init_dist_jax(args.tcp_port)
 
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
     epochs = args.epochs or cfg.OPTIMIZATION.NUM_EPOCHS
@@ -204,6 +204,13 @@ def main():
         from pdanet_tpu.train import load_checkpoint
 
         logger.info("**********************Start evaluation**********************")
+        if jax.process_count() > 1:
+            # rank 0 writes the final checkpoint; everyone must see it
+            # before globbing the ckpt dir (else non-zero ranks skip the
+            # eval and rank 0 hangs in the merge barrier)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("post_train_eval")
         test_set, test_loader, _ = build_dataloader(
             dataset_cfg=cfg.DATA_CONFIG,
             class_names=cfg.CLASS_NAMES,
@@ -211,6 +218,8 @@ def main():
             training=False,
             logger=logger,
             workers=args.workers,
+            rank=jax.process_index(),
+            world=jax.process_count(),
         )
         eval_model = build_network(
             cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
@@ -238,6 +247,7 @@ def main():
             eval_one_epoch(
                 cfg, eval_model, variables, test_loader, epoch_id, logger,
                 result_dir=cur_result_dir, save_to_file=args.save_to_file,
+                dist_test=jax.process_count() > 1,
             )
             logger.info("Epoch %s has been evaluated" % epoch_id)
         logger.info("**********************End evaluation**********************")
