@@ -24,14 +24,15 @@ quality through `kitti_object_eval_python.eval.get_official_eval_result`.
 
 Tolerance justification: the north star is Car-moderate 3D AP within 0.3
 of the reference checkpoint at full KITTI scale (BASELINE.json).  At
-fixture scale (4 frames, 4 GT cars) AP is coarse-grained — one missed
-frame moves R40 AP by ~25 points — so the assertion is
-|AP_ours − AP_twin| <= 2.0 (VERDICT r3's suggested starting tolerance):
-it passes only when BOTH trainings detect every car with well-localized
-boxes, and any systematic training-semantics gap (one side collapsing to
-the all-background equilibrium, mis-regressed sizes, bad heading bins)
-shows up as a >=10-AP gap.  A >=50 floor on both sides keeps the test
-from passing on mutual failure.
+fixture scale the official R40 interpolation caps AP at ~num_gt/40 (one
+appended threshold per matched gt, eval.py get_thresholds), so absolute
+AP floors are meaningless: with 4 GT cars even PERFECT detections score
+7.5.  The assertions are therefore (a) BOTH trainings reach the
+fixture's measured eval ceiling (gt fed back as detections) within 0.5
+AP — a single car missed at the official 0.7-IoU bar drops ~2 points —
+and (b) |AP_ours − AP_twin| <= 2.0 (VERDICT r3's suggested tolerance).
+Any systematic training-semantics gap (background-equilibrium collapse,
+mis-regressed sizes, bad heading bins) fails (a) on one side.
 
 Reference anchors: training loop `tools/train_utils/train_utils.py:45-64`,
 eval `tools/test.py:60-69` -> `kitti_object_eval_python/eval.py:639`.
@@ -43,11 +44,12 @@ from functools import partial
 
 import numpy as np
 import pytest
+import yaml
 
 import jax
 import jax.numpy as jnp
 
-from test_overfit_e2e import _build_fixture
+from kitti_fixture import build_mini_kitti
 
 from pdanet_tpu.utils.easydict import EasyDict
 
@@ -214,6 +216,40 @@ def torch_forward_auto(twin, layer_meta, sa_cfg, points_np, num_class,
 # ---------------------------------------------------------------------------
 
 
+def _eval_ceiling(cfg, root):
+    """The official eval's MAXIMUM achievable Car AP on this fixture.
+
+    KITTI's R40 interpolation appends one score threshold per matched
+    ground truth (``eval.get_thresholds``) and divides by 40, so with
+    ``num_gt`` far below 40 the AP of even PERFECT detections is capped
+    at ~``num_gt / 40`` (4 cars -> 7.5).  Feeding the ground truth back
+    through ``generate_prediction_dicts`` + the official eval port
+    measures that ceiling exactly; the parity assertion is then
+    ceiling-relative instead of absolute."""
+    from pdanet_tpu.datasets import build_dataloader
+
+    ds, loader, _ = build_dataloader(
+        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+        batch_size=2, training=False, root_path=root,
+    )
+    annos = []
+    for b in loader:
+        B = b["batch_size"]
+        preds = []
+        for bi in range(B):
+            gt = np.asarray(b["gt_boxes"][bi])
+            gt = gt[gt[:, 3] > 0]
+            preds.append({
+                "pred_boxes": gt[:, :7].astype(np.float32),
+                "pred_scores": (0.9 - 0.01 * np.arange(len(gt))).astype(
+                    np.float32),
+                "pred_labels": gt[:, 7].astype(np.int64),
+            })
+        annos += ds.generate_prediction_dicts(b, preds, cfg.CLASS_NAMES)
+    _, ret = ds.evaluation(annos, cfg.CLASS_NAMES)
+    return ret
+
+
 def _eval_ap(cfg, root, model, variables, tag, out_dir):
     """Official-eval one epoch; returns the KITTI result dict."""
     from pdanet_tpu.datasets import build_dataloader
@@ -250,8 +286,26 @@ def test_fixture_scale_ap_parity(tmp_path):
     from pdanet_tpu.utils.box_coder_utils import build_box_coder
     from test_cli import TINY_CFG
 
-    # ---- fixture + overfit-proven recipe (test_overfit_e2e) -------------
-    root, cfg = _build_fixture(tmp_path, TINY_CFG)
+    # ---- fixture: clouds at EXACTLY the 512-pt budget --------------------
+    # sample_points then never subsamples (choice = arange + shuffle) and
+    # the sort_points canonicalizer makes train/eval clouds bit-identical
+    # — without this, eval redraws a different random 512-of-1150 subset
+    # than the one the model memorized, and box quality at the official
+    # 0.7-IoU bar is dominated by that draw noise instead of by the
+    # training semantics under test (measured: recall@0.7 stuck at
+    # 0.12-0.25 with draw noise, ~1.0 without).
+    from pdanet_tpu.datasets.kitti.kitti_dataset import create_kitti_infos
+
+    root = tmp_path / "kitti"
+    build_mini_kitti(root, num_frames=4, n_bg=212, n_car=220, n_ped=80,
+                     bg_box=((4, 20), (-8, 8), (-1.8, 0.5)))
+    cfg = EasyDict(yaml.safe_load(TINY_CFG.format(data_path=root)))
+    cfg.DATA_CONFIG.DATA_AUGMENTOR.DISABLE_AUG_LIST = [
+        "random_world_flip", "random_world_rotation", "random_world_scaling"]
+    cfg.DATA_CONFIG.DATA_PROCESSOR.append(EasyDict(
+        {"NAME": "sort_points", "ENABLED": {"train": True, "test": True}}))
+    create_kitti_infos(cfg.DATA_CONFIG, cfg.CLASS_NAMES, root, root,
+                       workers=1)
     cfg.MODEL.BACKBONE_3D.SA_CONFIG.NPOINT_LIST = [
         [256], [128], [96], [64], [-1], [64]]
     cfg.OPTIMIZATION.LR = 0.003
@@ -391,21 +445,46 @@ def test_fixture_scale_ap_parity(tmp_path):
 
     ret_ours = _eval_ap(cfg, root, model, trained_ours, "ours", tmp_path)
     ret_twin = _eval_ap(cfg, root, model, trained_twin, "twin", tmp_path)
+    ret_ceil = _eval_ceiling(cfg, root)
 
     keys = sorted(
         k for k in set(ret_ours) | set(ret_twin)
         if k.startswith(("Car_3d", "Car_bev", "recall/"))
     )
     print(f"\nAP parity table (fixture scale, 4 frames, {epochs} steps):")
-    print(f"{'metric':28s} {'pdanet_tpu':>12s} {'torch twin':>12s} {'delta':>8s}")
+    print(f"{'metric':28s} {'pdanet_tpu':>12s} {'torch twin':>12s} "
+          f"{'eval-max':>9s} {'delta':>8s}")
     for k in keys:
         a, b = ret_ours.get(k, float("nan")), ret_twin.get(k, float("nan"))
-        print(f"{k:28s} {a:12.2f} {b:12.2f} {a - b:8.2f}")
+        c = ret_ceil.get(k, float("nan"))
+        print(f"{k:28s} {a:12.2f} {b:12.2f} {c:9.2f} {a - b:8.2f}")
+
+    import pickle
+
+    for tag in ("ours", "twin"):
+        with open(tmp_path / tag / "result.pkl", "rb") as f:
+            annos = pickle.load(f)
+        for a in annos:
+            order = np.argsort(-a["score"])
+            print(f"[{tag}] frame {a['frame_id']}: "
+                  + ", ".join(
+                      f"{a['name'][i]}:{a['score'][i]:.2f}"
+                      f"@bbox_h={a['bbox'][i][3]-a['bbox'][i][1]:.0f}px"
+                      for i in order[:8]))
 
     ap_ours = ret_ours["Car_3d/moderate_R40"]
     ap_twin = ret_twin["Car_3d/moderate_R40"]
-    assert ap_ours >= 50.0, f"our training failed to detect: AP={ap_ours}"
-    assert ap_twin >= 50.0, f"twin training failed to detect: AP={ap_twin}"
+    ap_max = ret_ceil["Car_3d/moderate_R40"]
+    # both trainings must reach the fixture-eval ceiling (a single car
+    # missed at the official 0.7-IoU bar drops ~2 of the ~7.5 points),
+    # and agree within the justified +-2 AP tolerance
+    assert ap_max > 0.0
+    assert ap_ours >= ap_max - 0.5, (
+        f"our training below the eval ceiling: AP={ap_ours} vs "
+        f"max {ap_max}")
+    assert ap_twin >= ap_max - 0.5, (
+        f"twin training below the eval ceiling: AP={ap_twin} vs "
+        f"max {ap_max}")
     assert abs(ap_ours - ap_twin) <= 2.0, (
         f"Car-moderate 3D AP diverged: ours={ap_ours:.2f} "
         f"twin={ap_twin:.2f}")
