@@ -148,6 +148,14 @@ def main():
     total_time = 0
     first_eval = True
     while True:
+        if jax.process_count() > 1:
+            # lockstep: rank 0's record write from the previous round
+            # must be visible before anyone re-globs, else a straggler
+            # re-evals a recorded ckpt and hangs alone in the merge
+            # barrier
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("eval_all_poll")
         cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(
             str(ckpt_dir), ckpt_record_file, args
         )
