@@ -153,6 +153,24 @@ def _merge_chunk(sel0, cnt0, lpos, total, K):
     return sel, cnt
 
 
+def _lane_to_major(row, MB):
+    """(1, MB) lane vector -> (MB, 1, 1) column broadcast.
+
+    Formulated as select+reduce instead of ``transpose().reshape()``:
+    the lane->sublane relayout shape cast compiles on the live remote
+    path but is rejected by the chipless AOT Mosaic pipeline that
+    recompiles exported serving artifacts (``infer-vector-layout:
+    unsupported shape cast (1x1x128) -> (128x1x1)``) — and serving
+    artifacts must recompile anywhere.  Cost is an (MB, 1, MB)
+    elementwise+reduce, noise next to the (MB, C, 128) distance field."""
+    v = row.reshape(1, 1, MB)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (MB, 1, MB), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (MB, 1, MB), 2)
+    )
+    return jnp.sum(jnp.where(sel, v, 0.0), axis=2, keepdims=True)
+
+
 def _bq_kernel(radii, nsamples, n_chunks, ctr_ref, sup_ref, *rest):
     n_r = len(radii)
     out_refs = rest[:n_r]
@@ -164,10 +182,10 @@ def _bq_kernel(radii, nsamples, n_chunks, ctr_ref, sup_ref, *rest):
     nc_id = pl.program_id(2) if n_chunks > 1 else 0
     base = (nc_id * NC).astype(jnp.float32) if n_chunks > 1 else 0.0
 
-    # centers: (1, Mb) lane rows -> (Mb, 1) columns -> (Mb, 1, 1)
-    cxs = jnp.transpose(ctr_ref[0, 0:1, :]).reshape(MB, 1, 1)
-    cys = jnp.transpose(ctr_ref[0, 1:2, :]).reshape(MB, 1, 1)
-    czs = jnp.transpose(ctr_ref[0, 2:3, :]).reshape(MB, 1, 1)
+    # centers: (1, Mb) lane rows -> (Mb, 1, 1) columns
+    cxs = _lane_to_major(ctr_ref[0, 0:1, :], MB)
+    cys = _lane_to_major(ctr_ref[0, 1:2, :], MB)
+    czs = _lane_to_major(ctr_ref[0, 2:3, :], MB)
     xs = sup_ref[0, 0, :, :].reshape(1, C, _LANES)
     ys = sup_ref[0, 1, :, :].reshape(1, C, _LANES)
     zs = sup_ref[0, 2, :, :].reshape(1, C, _LANES)
@@ -232,9 +250,9 @@ def _bq_stream_kernel(radii, nsamples, n_chunks, ctr_ref, mask_ref, sup_hbm,
     C = buf.shape[2]
     NC = C * _LANES
 
-    cxs = jnp.transpose(ctr_ref[0, 0:1, :]).reshape(MB, 1, 1)
-    cys = jnp.transpose(ctr_ref[0, 1:2, :]).reshape(MB, 1, 1)
-    czs = jnp.transpose(ctr_ref[0, 2:3, :]).reshape(MB, 1, 1)
+    cxs = _lane_to_major(ctr_ref[0, 0:1, :], MB)
+    cys = _lane_to_major(ctr_ref[0, 1:2, :], MB)
+    czs = _lane_to_major(ctr_ref[0, 2:3, :], MB)
 
     for i, K in enumerate(nsamples):
         cnt_refs[i][:, :] = jnp.zeros((MB, 1), jnp.float32)
@@ -369,6 +387,13 @@ def ball_query_multi_pallas_streamed(radii, nsamples, xyz, new_xyz,
             + [pltpu.VMEM((2, 3, C, _LANES), jnp.float32),
                pltpu.SemaphoreType.DMA((2,))]
         ),
+        # the AOT (serving-artifact) compile path defaults to a 16 MB
+        # scoped-vmem limit; this kernel's working set at the tuned
+        # (mb=128, nc=8192) block is ~16.6 MB (fine for the 128 MB VMEM,
+        # and what the live path already runs with)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(ctr, process, sup5)
     # undo the internal center sort
@@ -434,6 +459,11 @@ def ball_query_multi_pallas(radii, nsamples, xyz, new_xyz, interpret=False,
         scratch_shapes=(
             [pltpu.VMEM((mb, K), jnp.int32) for K in nsamples]
             + [pltpu.VMEM((mb, 1), jnp.float32) for _ in nsamples]
+        ),
+        # see ball_query_multi_pallas_streamed: the AOT compile path's
+        # default scoped-vmem limit is tighter than the live path's
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
     )(ctr, sup4)
