@@ -33,10 +33,17 @@ class TrainEvalDtype:
     ``dtype``.  Normalization statistics (BN batch mean/var, LN) remain
     f32 during training — see the ``bn_dtype`` handling below.
 
-    Measured on v5e at PDA-SSD channel widths (16-512): bf16 train is
-    SLOWER than f32 (41 -> 59 ms/step at b2 KITTI shapes) — the tiny
-    matmuls are conversion-bound, not MXU-bound.  The switch ships for
-    wider model variants; the default stays f32."""
+    Measured on v5e, b2 KITTI shapes (bench.py fori-loop harness):
+    round-2 code measured bf16 train SLOWER than f32 (41 -> 59 ms/step —
+    conversion-bound); after the round-3 flat-gather rewrite the sign
+    FLIPPED: f32 31.8 -> bf16 27.0 ms/step (-15%), and the xplane
+    profile shows the remaining top cost is layout-relayout copies of
+    the grouped (B, M, K, C) tensors (19.8 ms f32 / 13.8 ms bf16 per
+    step), not matmul or gather work.  Two restructuring attempts are
+    recorded as negatives in DenseBNReLU / TransformerEncoderLayerPreNorm
+    below.  Default stays f32 (reference numerics; the trajectory twin
+    is pinned on f32 semantics); bf16 is the recommended TPU fast path
+    (semantics guarded by tests/test_train.py::test_bf16_train_compute)."""
 
     dtype: Any
 
@@ -70,6 +77,13 @@ class DenseBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = _infer_dtype(self.dtype, train)
+        # NOTE (r4 measured negative): flattening leading dims to run the
+        # dot as a 2-D GEMM — hoping to remove the backward's M-minor
+        # relayout copies (the b2 train profile's #1 cost family,
+        # tools/probes/train_profile_probe.py) — made the step WORSE
+        # (30.4 -> 33.6 ms/step, copies 19.8 -> 22.2): the M-minor
+        # layouts are demanded by the 4-branch channel concat downstream,
+        # and local reshapes only add conversion points.
         x = nn.Dense(
             self.features, use_bias=self.use_bias, dtype=dt, name="dense"
         )(x)
@@ -260,6 +274,11 @@ class TransformerEncoderLayerPreNorm(nn.Module):
                 **pallas,
             )(x)
         else:
+            # NOTE (r4 measured negative): flattening (B, M) into one
+            # batch dim before this einsum attention — hoping to reduce
+            # the 5-D QKV layout copies XLA emits — made the b2 train
+            # step WORSE (30.4 -> 35.3 ms/step, copies 19.8 -> 22.3;
+            # tools/probes/train_profile_probe.py); keep the 4-D form.
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.nhead,
                 qkv_features=self.d_model,
