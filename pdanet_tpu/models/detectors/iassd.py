@@ -113,7 +113,7 @@ def post_processing(batch_cls_preds, batch_box_preds, post_cfg):
         count (B,).
     """
     from ...ops.nms import greedy_nms_mask_batched
-    from ...ops.rotated_iou import boxes_iou_bev
+    from ...ops.rotated_iou import boxes_iou_bev_batched_self
 
     scores_all = jax.nn.sigmoid(batch_cls_preds)
     cls_scores = jnp.max(scores_all, axis=-1)
@@ -137,12 +137,13 @@ def post_processing(batch_cls_preds, batch_box_preds, post_cfg):
         valid = jnp.isfinite(scores) & (scores >= post_cfg.SCORE_THRESH)
         masked = jnp.where(valid, scores, -jnp.inf)
         order = jnp.argsort(-masked, stable=True)[:pre]
-        cand_boxes = boxes[order]
-        cand_valid = valid[order]
-        iou = boxes_iou_bev(cand_boxes, cand_boxes)
-        return order.astype(jnp.int32), cand_valid, iou
+        return order.astype(jnp.int32), valid[order], boxes[order]
 
-    order, cand_valid, iou = jax.vmap(prep)(cls_scores, batch_box_preds)
+    order, cand_valid, cand_boxes = jax.vmap(prep)(
+        cls_scores, batch_box_preds)
+    # batched outside vmap: dispatches to the VMEM-tiled Pallas IoU at
+    # NMS scale on TPU (Pallas calls cannot run under vmap)
+    iou = boxes_iou_bev_batched_self(cand_boxes)
     # batched greedy walk outside vmap (Pallas kernel on TPU)
     keep = greedy_nms_mask_batched(
         iou, cand_valid, float(nms_cfg.NMS_THRESH)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.nms import greedy_nms_mask_batched, nms_rotated
-from ...ops.rotated_iou import boxes_iou_bev
+from ...ops.rotated_iou import boxes_iou_bev_batched_self
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
@@ -55,10 +55,11 @@ def batched_nms_candidates(boxes, scores, labels, valid, nms_cfg,
             ok &= scores_f >= score_thresh
         masked = jnp.where(ok, scores_f, -jnp.inf)
         order = jnp.argsort(-masked, stable=True)[:pre]
-        iou = boxes_iou_bev(boxes_f[order][:, :7], boxes_f[order][:, :7])
-        return order.astype(jnp.int32), ok[order], iou
+        return order.astype(jnp.int32), ok[order], boxes_f[order][:, :7]
 
-    order, cand_valid, iou = jax.vmap(prep)(scores, boxes, valid)
+    order, cand_valid, cand_boxes = jax.vmap(prep)(scores, boxes, valid)
+    # batched outside vmap: VMEM-tiled Pallas IoU at NMS scale on TPU
+    iou = boxes_iou_bev_batched_self(cand_boxes)
     keep = greedy_nms_mask_batched(iou, cand_valid, float(nms_cfg.NMS_THRESH))
 
     def compact(keep_f, order_f, scores_f, boxes_f, labels_f):

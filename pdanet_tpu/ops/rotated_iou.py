@@ -210,6 +210,27 @@ def boxes_iou_bev(boxes_a, boxes_b):
     return overlap / jnp.maximum(sa + sb - overlap, EPS)
 
 
+def boxes_iou_bev_batched_self(boxes):
+    """(B, K, 7) -> (B, K, K) self-IoU — the NMS suppression matrix.
+
+    Dispatches to the VMEM-tiled Pallas kernel on TPU at NMS scale
+    (K >= 512, where the XLA path's HBM-materialized 24-candidate
+    tensors + angular lax.sort dominate the post-processing cost — see
+    ops/pallas/rotated_iou.py), and to the vmapped XLA kernel elsewhere.
+    NMS consumption is discrete, hence the stop_gradient."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and boxes.shape[1] >= 512
+        and os.environ.get("PDANET_IOU_IMPL") != "xla"
+    ):
+        from .pallas.rotated_iou import boxes_iou_bev_self_pallas
+
+        return boxes_iou_bev_self_pallas(jax.lax.stop_gradient(boxes))
+    return jax.vmap(lambda b: boxes_iou_bev(b, b))(boxes)
+
+
 def boxes_iou3d(boxes_a, boxes_b):
     """Pairwise 3-D IoU = BEV overlap x height overlap
     (``iou3d_nms_utils.boxes_iou3d_gpu``, iou3d_nms_utils.py:48-81)."""
