@@ -285,6 +285,34 @@ def main():
     if not ok:
         failures.append("train_step")
 
+    # VMEM-tiled Pallas self-IoU (the NMS matrix kernel) vs the XLA
+    # rotated-IoU at NMS scale.  Off-diagonal must agree to fp rounding
+    # (pseudo-angle + sort-network vs atan2 + lax.sort); the kernel's
+    # diagonal is exactly 1 (the XLA CPU fallback has a degenerate-tie
+    # artifact there — tests/test_pallas_iou.py — the TPU path agrees).
+    from pdanet_tpu.ops.pallas.rotated_iou import boxes_iou_bev_self_pallas
+    from pdanet_tpu.ops.rotated_iou import boxes_iou_bev
+
+    rs = np.random.RandomState(31)
+    Kb = 1024
+    bb = np.zeros((2, Kb, 7), np.float32)
+    bb[..., 0:2] = rs.uniform(-40, 40, (2, Kb, 2))
+    bb[..., 2] = rs.uniform(-1.5, 0.5, (2, Kb))
+    bb[..., 3:5] = rs.uniform(0.5, 4.5, (2, Kb, 2))
+    bb[..., 5] = rs.uniform(1.0, 2.0, (2, Kb))
+    bb[..., 6] = rs.uniform(-np.pi, np.pi, (2, Kb))
+    got_iou = np.asarray(boxes_iou_bev_self_pallas(jnp.asarray(bb)))
+    want_iou = np.asarray(
+        jax.jit(jax.vmap(lambda b: boxes_iou_bev(b, b)))(jnp.asarray(bb)))
+    offd = ~np.eye(Kb, dtype=bool)[None].repeat(2, 0)
+    err = float(np.abs((got_iou - want_iou)[offd]).max())
+    ok = err < 1e-3 and np.allclose(
+        got_iou[:, np.arange(Kb), np.arange(Kb)], 1.0, rtol=1e-5)
+    print(f"pallas self-IoU (NMS matrix, K={Kb}) vs xla: off-diag max "
+          f"err {err:.2e} {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        failures.append("pallas_iou")
+
     # Serving certification on-chip (VERDICT r3 #8): export the FULL
     # KITTI b1 predict path (forward + in-graph NMS) to a StableHLO
     # artifact, deserialize it back, run it on the chip, and require it
