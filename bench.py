@@ -211,6 +211,7 @@ def main():
         results["kitti_b8_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- ONCE b2 forward / e2e ---------------------------------------------
+    ocfg = omodel = ovars = None  # later blocks guard on these
     try:
         ocfg, omodel = build_model("tools/cfgs/once_models/PDA-SSD.yaml")
         opts = jnp.asarray(
@@ -303,15 +304,18 @@ def main():
         results["kitti_b2_train_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ONCE train step (VERDICT r3 #4): B=2 x 60000, the reference recipe
-    try:
-        otpts = jnp.asarray(
-            lidar_like_cloud(17, 2, 60000, x_range=(0.0, 75.0))
-        )
-        t = time_train_step(omodel, ocfg.OPTIMIZATION, otpts, _fake_gt(2, 6),
-                            K=8)
-        results["once_b2_train_ms"] = round(t * 1e3, 2)
-    except Exception as e:
-        results["once_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
+    if omodel is None:  # don't mask the root-cause ONCE build error
+        results["once_b2_train_error"] = "once model unavailable (see once_b2_forward_error)"
+    else:
+        try:
+            otpts = jnp.asarray(
+                lidar_like_cloud(17, 2, 60000, x_range=(0.0, 75.0))
+            )
+            t = time_train_step(omodel, ocfg.OPTIMIZATION, otpts,
+                                _fake_gt(2, 6), K=8)
+            results["once_b2_train_ms"] = round(t * 1e3, 2)
+        except Exception as e:
+            results["once_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     results["vs_baseline_at_80fps"] = round(headline_fps / REF_2080TI_FPS_HIGH, 3)
     print(

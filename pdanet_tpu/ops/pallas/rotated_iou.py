@@ -68,11 +68,16 @@ def _oddeven_pairs(n_real, n_pow2=32):
 
 
 def _pseudo_angle(dy, dx):
-    """Monotone atan2 surrogate on [-2, 2) with the same -pi branch cut."""
+    """Monotone atan2 surrogate on [-2, 2) with the same -pi branch cut.
+
+    The half-plane fold uses ``signbit`` rather than ``dy >= 0`` so that
+    ``dy == -0.0`` lands on the lower branch (-2.0), exactly matching
+    ``atan2(-0.0, dx < 0) == -pi`` — ``-0.0 >= 0`` is True and would
+    otherwise map signed-zero ties to +2.0."""
     denom = jnp.abs(dx) + jnp.abs(dy)
     r = dy / jnp.where(denom > 0, denom, 1.0)
     return jnp.where(
-        dx >= 0, r, jnp.where(dy >= 0, 2.0 - r, -2.0 - r)
+        dx >= 0, r, jnp.where(jnp.signbit(dy), -2.0 - r, 2.0 - r)
     )
 
 
@@ -143,11 +148,33 @@ def _iou_tile_kernel(thresh_unused, a_ref, b_ref, out_ref):
             D_safe = jnp.where(jnp.abs(D) > 0, D, 1.0)
             slow_x = (b0 * c1 - b1 * c0) / D_safe
             slow_y = (a1 * c0 - a0 * c1) / D_safe
-            valid = valid & (use_fast | (jnp.abs(D) > EPS))
+            # relative |D| threshold: rejects the FMA-residue
+            # determinants of exactly-coincident edges in every
+            # recompute (same rationale as ops/rotated_iou.py)
+            D_scale = jnp.abs(a0 * b1) + jnp.abs(a1 * b0)
+            valid = valid & (use_fast | (jnp.abs(D) > 1e-5 * D_scale))
+
+            ix = jnp.where(use_fast, fast_x, slow_x)
+            iy = jnp.where(use_fast, fast_y, slow_y)
+            # on-segment guard against FMA-noise garbage points on
+            # exactly-overlapping edges (same guard + rationale as
+            # ops/rotated_iou.py)
+            GM = 1e-3
+            on_seg = (
+                (ix >= jnp.minimum(p0x, p1x) - GM)
+                & (ix <= jnp.maximum(p0x, p1x) + GM)
+                & (iy >= jnp.minimum(p0y, p1y) - GM)
+                & (iy <= jnp.maximum(p0y, p1y) + GM)
+                & (ix >= jnp.minimum(q0x, q1x) - GM)
+                & (ix <= jnp.maximum(q0x, q1x) + GM)
+                & (iy >= jnp.minimum(q0y, q1y) - GM)
+                & (iy <= jnp.maximum(q0y, q1y) + GM)
+            )
+            valid = valid & on_seg
 
             cand.append((
-                jnp.where(valid, jnp.where(use_fast, fast_x, slow_x), 0.0),
-                jnp.where(valid, jnp.where(use_fast, fast_y, slow_y), 0.0),
+                jnp.where(valid, ix, 0.0),
+                jnp.where(valid, iy, 0.0),
                 valid,
             ))
 
@@ -206,6 +233,10 @@ def _iou_tile_kernel(thresh_unused, a_ref, b_ref, out_ref):
 
     sa = ac(3) * ac(4)
     sb = bc(3) * bc(4)
+    # min-area clamp: bounds IoU <= 1 under exact-duplicate vertex ties
+    # (same guard as ops/rotated_iou.py — true overlap never exceeds
+    # either box's own area)
+    area = jnp.minimum(area, jnp.minimum(sa, sb))
     out_ref[0] = area / jnp.maximum(sa + sb - area, EPS)
 
 

@@ -44,10 +44,60 @@ def box_corners_bev(boxes):
     return px, py
 
 
-def _pair_overlap_planes(boxes_a, boxes_b):
-    """(N, 7) x (M, 7) -> (N, M) rotated BEV overlap areas."""
+def _pair_overlap_planes(boxes_a, boxes_b, self_pair=False):
+    """(N, 7) x (M, 7) -> (N, M) rotated BEV overlap areas.
+
+    ``self_pair=True`` (N == M, boxes_a and boxes_b the same set, e.g.
+    the NMS suppression matrix) computes the corner/trig tensors ONCE
+    and reuses exact views for the b side.  Under jit the two operands
+    are distinct parameters, so the two corner computations can never
+    be CSE-merged and may be FMA-contracted differently — leaving
+    "identical" boxes with corners an ulp apart, whose near-coincident
+    edges then have genuinely ill-conditioned crossing points that land
+    anywhere (observed: deterministic self-IoU 0.85 on the CPU
+    backend).  With shared tensors, coincident corners subtract to
+    IEEE-exact zeros, which survive any contraction (0*x - y*0 == 0),
+    so every degenerate cross product is exactly 0 as in the serial
+    CUDA reference."""
     ax, ay = box_corners_bev(boxes_a)  # (N, 4)
-    bx, by = box_corners_bev(boxes_b)  # (M, 4)
+    if self_pair:
+        bx, by = ax, ay
+    else:
+        bx, by = box_corners_bev(boxes_b)  # (M, 4)
+    # Pin the corner tensors to a single evaluation: XLA's fusion may
+    # otherwise duplicate the corner math into different consumers with
+    # different FMA-contraction choices, leaving bitwise-identical boxes
+    # with corners an ulp apart — which turns the exactly-zero cross
+    # products of coincident edges into sign-random noise that the
+    # strict s1*s2 > 0 crossing test then admits as garbage
+    # intersection points (batch-shape-dependent!).  With ONE pinned
+    # evaluation, coincident corners subtract to exact zeros and every
+    # degenerate cross product is exactly 0, as in the serial CUDA
+    # reference.  Cost: four (K, 4) tensors — negligible.
+    ax, ay, bx, by = jax.lax.optimization_barrier((ax, ay, bx, by))
+
+    # XLA:CPU additionally duplicates the per-pair product arithmetic
+    # itself into each consumer fusion with different contraction
+    # choices, so even pinned corners leave a*b - c*d on coincident
+    # edges as sign-random FMA residue instead of exact 0, admitting
+    # deterministic garbage polygon points (observed: identical boxes
+    # scoring IoU 0.85/1.70 depending on batch shape).  On CPU — the
+    # test/fallback backend, where throughput is irrelevant — pin every
+    # product pair so each difference-of-products is computed from one
+    # rounded evaluation of each product: bitwise-equal operands then
+    # subtract to exact 0 in EVERY consumer, restoring the serial CUDA
+    # reference's exact-zero degenerate behavior.  The TPU path keeps
+    # the fused arithmetic (measured correct there; additionally
+    # bounded by the min-area clamp below).
+    _pin = jax.default_backend() == "cpu"
+
+    def dprod(a, b, c, d):
+        """a*b - c*d with contraction-safe exact-tie zeros on CPU."""
+        p = a * b
+        q = c * d
+        if _pin:
+            p, q = jax.lax.optimization_barrier((p, q))
+        return p - q
 
     def A(c):  # corner c of a as (N, 1)
         return ax[:, c : c + 1], ay[:, c : c + 1]
@@ -74,7 +124,7 @@ def _pair_overlap_planes(boxes_a, boxes_b):
             )
 
             def cross3(x1, y1, x2, y2, x0, y0):
-                return (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+                return dprod(x1 - x0, y2 - y0, x2 - x0, y1 - y0)
 
             s1 = cross3(q0x, q0y, p1x, p1y, p0x, p0y)
             s2 = cross3(p1x, p1y, q1x, q1y, p0x, p0y)
@@ -85,31 +135,70 @@ def _pair_overlap_planes(boxes_a, boxes_b):
             s5 = cross3(q1x, q1y, p1x, p1y, p0x, p0y)
             use_fast = jnp.abs(s5 - s1) > EPS
             denom_fast = jnp.where(use_fast, s5 - s1, 1.0)
-            fast_x = (s5 * q0x - s1 * q1x) / denom_fast
-            fast_y = (s5 * q0y - s1 * q1y) / denom_fast
+            fast_x = dprod(s5, q0x, s1, q1x) / denom_fast
+            fast_y = dprod(s5, q0y, s1, q1y) / denom_fast
 
             a0 = p0y - p1y
             b0 = p1x - p0x
-            c0 = p0x * p1y - p1x * p0y
+            c0 = dprod(p0x, p1y, p1x, p0y)
             a1 = q0y - q1y
             b1 = q1x - q0x
-            c1 = q0x * q1y - q1x * q0y
-            D = a0 * b1 - a1 * b0
+            c1 = dprod(q0x, q1y, q1x, q0y)
+            D = dprod(a0, b1, a1, b0)
             D_safe = jnp.where(jnp.abs(D) > 0, D, 1.0)
-            slow_x = (b0 * c1 - b1 * c0) / D_safe
-            slow_y = (a1 * c0 - a0 * c1) / D_safe
+            slow_x = dprod(b0, c1, b1, c0) / D_safe
+            slow_y = dprod(a1, c0, a0, c1) / D_safe
 
             # FMA-contraction guard: in exact arithmetic a valid crossing
             # (s-products > 0) implies non-parallel edges, i.e. a usable
             # denominator.  Under jit the compiler may contract the cross
             # products into FMAs, flipping exact zeros on touching/parallel
             # edges to tiny +/- noise and admitting garbage slow-path
-            # points; requiring a non-degenerate denominator restores the
-            # exact-arithmetic behavior without changing any true case.
-            valid = valid & (use_fast | (jnp.abs(D) > EPS))
+            # points.  The threshold must be RELATIVE: on exactly
+            # coincident edges (identical boxes) D = a0*b1 - a1*b0 with
+            # bitwise-equal products, whose FMA residue (~6e-8 relative
+            # to the product scale) exceeds the absolute EPS at KITTI
+            # coordinate scale while the slow numerators contract to
+            # exact 0 — a deterministic off-line (0, 0) garbage point.
+            # Any evaluation of a pure residue stays below 1e-5 of the
+            # product scale, so this test is False in EVERY fusion's
+            # recompute; a true crossing with relative determinant
+            # below 1e-5 is beyond f32 conditioning anyway (the CUDA
+            # reference's serial exact zeros fail s1*s2 > 0 there).
+            D_scale = jnp.abs(a0 * b1) + jnp.abs(a1 * b0)
+            valid = valid & (use_fast | (jnp.abs(D) > 1e-5 * D_scale))
 
-            cand_x.append(jnp.where(valid, jnp.where(use_fast, fast_x, slow_x), 0.0))
-            cand_y.append(jnp.where(valid, jnp.where(use_fast, fast_y, slow_y), 0.0))
+            ix = jnp.where(use_fast, fast_x, slow_x)
+            iy = jnp.where(use_fast, fast_y, slow_y)
+            # Second FMA guard: EXACTLY-overlapping edges (identical
+            # boxes) can still pass both tests on contraction noise with
+            # a garbage noise/noise-ratio point, and which pairs slip
+            # through varies with batch shape (fusion-dependent codegen
+            # — XLA freely duplicates this arithmetic into each
+            # consumer with different contraction choices, so a filter
+            # computed from a RErun of ix would not see the value that
+            # gets stored).  Pin one evaluation, then reject pinned
+            # points outside the two segments' AABBs: a true crossing
+            # always lies inside both (fp32 rounding at KITTI
+            # coordinate scale is ~1e-5, margin 1e-3), so only
+            # geometrically impossible candidates are removed.
+            ix, iy, valid = jax.lax.optimization_barrier(
+                (ix, iy, valid))
+            GM = 1e-3
+            on_seg = (
+                (ix >= jnp.minimum(p0x, p1x) - GM)
+                & (ix <= jnp.maximum(p0x, p1x) + GM)
+                & (iy >= jnp.minimum(p0y, p1y) - GM)
+                & (iy <= jnp.maximum(p0y, p1y) + GM)
+                & (ix >= jnp.minimum(q0x, q1x) - GM)
+                & (ix <= jnp.maximum(q0x, q1x) + GM)
+                & (iy >= jnp.minimum(q0y, q1y) - GM)
+                & (iy <= jnp.maximum(q0y, q1y) + GM)
+            )
+            valid = valid & on_seg
+
+            cand_x.append(jnp.where(valid, ix, 0.0))
+            cand_y.append(jnp.where(valid, iy, 0.0))
             cand_v.append(valid)
 
     # contained corners (check_in_box2d, :51-61), per corner k: b_k-in-a
@@ -121,12 +210,18 @@ def _pair_overlap_planes(boxes_a, boxes_b):
     a_hy = boxes_a[:, 4:5] / 2.0
     a_cos = jnp.cos(-boxes_a[:, 6:7])
     a_sin = jnp.sin(-boxes_a[:, 6:7])
-    b_cx = boxes_b[None, :, 0]
-    b_cy = boxes_b[None, :, 1]
-    b_hx = boxes_b[None, :, 3] / 2.0
-    b_hy = boxes_b[None, :, 4] / 2.0
-    b_cos = jnp.cos(-boxes_b[None, :, 6])
-    b_sin = jnp.sin(-boxes_b[None, :, 6])
+    if self_pair:  # exact transposed views of the a-side tensors
+        b_cx, b_cy, b_hx, b_hy, b_cos, b_sin = (
+            t[:, 0][None, :]
+            for t in (a_cx, a_cy, a_hx, a_hy, a_cos, a_sin)
+        )
+    else:
+        b_cx = boxes_b[None, :, 0]
+        b_cy = boxes_b[None, :, 1]
+        b_hx = boxes_b[None, :, 3] / 2.0
+        b_hy = boxes_b[None, :, 4] / 2.0
+        b_cos = jnp.cos(-boxes_b[None, :, 6])
+        b_sin = jnp.sin(-boxes_b[None, :, 6])
 
     for k in range(4):
         # corner k of b inside box a
@@ -185,28 +280,46 @@ def _pair_overlap_planes(boxes_a, boxes_b):
     vy = yf - y0
     tri = vx[:-1] * vy[1:] - vx[1:] * vy[:-1]
     area = jnp.abs(jnp.sum(tri, axis=0)) / 2.0
-    return jnp.where(cnt > 0, area, 0.0)
+    # Degenerate-tie guard: identical boxes make every candidate an exact
+    # duplicate vertex, and backend-dependent tie ordering in the angular
+    # sort can fan the duplicated polygon into a larger one (the CPU
+    # argsort fallback produced overlap > area, i.e. IoU > 1).  The true
+    # rotated intersection can never exceed either box's own area, so
+    # clamping to min(area_a, area_b) is exact on every non-degenerate
+    # pair and bounds the public op (IoU <= 1) on every backend.  The
+    # CUDA reference (iou3d_nms_kernel.cu:236-265) needs no clamp only
+    # because its serial scalar ordering never splits exact ties.
+    cap = jnp.minimum(
+        (boxes_a[:, 3] * boxes_a[:, 4])[:, None],
+        (boxes_b[None, :, 3] * boxes_b[None, :, 4]),
+    )
+    return jnp.where(cnt > 0, jnp.minimum(area, cap), 0.0)
 
 
-@partial(jax.jit, static_argnames=())
-def boxes_overlap_bev(boxes_a, boxes_b):
+@partial(jax.jit, static_argnames=("self_pair",))
+def boxes_overlap_bev(boxes_a, boxes_b, self_pair=False):
     """Pairwise rotated BEV overlap area.
 
     Args:
         boxes_a: (N, 7), boxes_b: (M, 7)
+        self_pair: static flag — boxes_a and boxes_b are the same box
+            set (exact degenerate-tie handling on the diagonal; see
+            ``_pair_overlap_planes``).  Auto-detected by
+            ``boxes_iou_bev`` when both arguments are the same array.
     Returns:
         (N, M) float32 overlap areas.
     """
-    return _pair_overlap_planes(
-        boxes_a.astype(jnp.float32), boxes_b.astype(jnp.float32)
-    )
+    boxes_a = boxes_a.astype(jnp.float32)
+    boxes_b = boxes_a if self_pair else boxes_b.astype(jnp.float32)
+    return _pair_overlap_planes(boxes_a, boxes_b, self_pair=self_pair)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):
     """Pairwise rotated BEV IoU (iou_bev, iou3d_nms_kernel.cu:227-234)."""
+    self_pair = boxes_a is boxes_b
     sa = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
     sb = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
-    overlap = boxes_overlap_bev(boxes_a, boxes_b)
+    overlap = boxes_overlap_bev(boxes_a, boxes_b, self_pair=self_pair)
     return overlap / jnp.maximum(sa + sb - overlap, EPS)
 
 
@@ -239,7 +352,8 @@ def boxes_iou3d(boxes_a, boxes_b):
     b_hmax = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
     b_hmin = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
 
-    overlaps_bev = boxes_overlap_bev(boxes_a, boxes_b)
+    overlaps_bev = boxes_overlap_bev(
+        boxes_a, boxes_b, self_pair=boxes_a is boxes_b)
     overlaps_h = jnp.clip(
         jnp.minimum(a_hmax, b_hmax) - jnp.maximum(a_hmin, b_hmin), min=0
     )

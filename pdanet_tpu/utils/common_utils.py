@@ -102,10 +102,23 @@ def init_dist_jax(tcp_port=18888, logger=None):
         addr = os.environ.get("MASTER_ADDR", "127.0.0.1")
         if ":" not in addr:
             addr = f"{addr}:{os.environ.get('MASTER_PORT', tcp_port)}"
+        # A forgotten RANK must be a loud error, not a silent rank-0
+        # default: every process claiming process_id=0 makes the
+        # rendezvous hang until timeout with no diagnostic.
+        rank_s = os.environ.get("RANK")
+        if rank_s is None:
+            raise RuntimeError(
+                "WORLD_SIZE=%d is set but RANK is not; torchrun-style "
+                "launches must export RANK in [0, WORLD_SIZE) per process "
+                "(see tools/scripts/dist_train.sh)" % world)
+        rank = int(rank_s)
+        if not 0 <= rank < world:
+            raise RuntimeError(
+                "RANK=%d out of range for WORLD_SIZE=%d" % (rank, world))
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=world,
-            process_id=int(os.environ.get("RANK", "0")),
+            process_id=rank,
         )
         if jax.default_backend() == "cpu":
             # Establish the Gloo communicator NOW, while all ranks are in

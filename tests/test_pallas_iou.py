@@ -60,28 +60,18 @@ def _kernel_interpret(boxes, tr=128):
     return np.asarray(out[:, :K, :K])
 
 
-def _mask_diag(a):
-    """Drop the self-pair diagonal: on IDENTICAL boxes (every candidate
-    angle an exact tie) the XLA path's CPU argsort fallback produces an
-    impossible overlap > area (IoU 1.70 on seed-0 boxes) while the
-    kernel and the TPU lax.sort path both give the true 1.0 — a
-    degenerate-tie artifact of the CPU fallback only, and irrelevant to
-    NMS (the greedy walk only consults earlier-index pairs).  The kernel
-    diagonal is asserted == 1 separately."""
-    out = a.copy()
-    for b in range(a.shape[0]):
-        np.fill_diagonal(out[b], 0.0)
-    return out
-
-
 class TestPallasSelfIoU:
     def test_vs_xla_random(self):
+        # full matrices INCLUDING the identical-box diagonal: the
+        # min-area overlap clamp in ops/rotated_iou.py bounds the XLA
+        # path's degenerate-tie artifact (was IoU 1.70 on the CPU
+        # argsort fallback), so the public op is IoU <= 1 everywhere
         boxes = _boxes(2, 128, seed=0)
         got = _kernel_interpret(boxes)
         want = np.asarray(jax.vmap(
             lambda b: boxes_iou_bev(b, b))(jnp.asarray(boxes)))
-        np.testing.assert_allclose(
-            _mask_diag(got), _mask_diag(want), rtol=2e-4, atol=2e-5)
+        assert want.max() <= 1.0 + 1e-6
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
         # the kernel's self-IoU is exactly right
         for b in range(2):
             np.testing.assert_allclose(
@@ -94,8 +84,7 @@ class TestPallasSelfIoU:
         got = _kernel_interpret(boxes)
         want = np.asarray(jax.vmap(
             lambda b: boxes_iou_bev(b, b))(jnp.asarray(boxes)))
-        np.testing.assert_allclose(
-            _mask_diag(got), _mask_diag(want), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
     def test_zero_padding_rows(self):
         # zero boxes (the K-padding rows) must give IoU 0, not NaN

@@ -149,16 +149,36 @@ def main():
     first_eval = True
     while True:
         if jax.process_count() > 1:
-            # lockstep: rank 0's record write from the previous round
-            # must be visible before anyone re-globs, else a straggler
-            # re-evals a recorded ckpt and hangs alone in the merge
-            # barrier
+            # Rank 0 ALONE decides which checkpoint (if any) to eval and
+            # broadcasts the decision: a barrier alone cannot make the
+            # trainer's checkpoint writes or the record file equally
+            # visible on a shared FS with propagation lag, and ranks
+            # globbing independently could take different branches —
+            # one entering the merge barrier while another loops back
+            # into the poll, a mismatched named collective that hangs.
+            import numpy as _np
+
             from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices("eval_all_poll")
-        cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(
-            str(ckpt_dir), ckpt_record_file, args
-        )
+            if jax.process_index() == 0:
+                cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(
+                    str(ckpt_dir), ckpt_record_file, args
+                )
+            else:
+                cur_epoch_id, cur_ckpt = -1, None
+            payload = ("%s\x00%s" % (cur_epoch_id, cur_ckpt or "")).encode()
+            buf = _np.zeros(1024, _np.uint8)
+            buf[: len(payload)] = _np.frombuffer(payload, _np.uint8)
+            buf = _np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            epoch_s, ckpt_s = (
+                bytes(buf).rstrip(b"\x00").decode().split("\x00", 1)
+            )
+            cur_epoch_id = -1 if epoch_s == "-1" else epoch_s
+            cur_ckpt = ckpt_s or None
+        else:
+            cur_epoch_id, cur_ckpt = get_no_evaluated_ckpt(
+                str(ckpt_dir), ckpt_record_file, args
+            )
         if cur_epoch_id == -1 or int(float(cur_epoch_id)) < args.start_epoch:
             wait_second = 30
             if total_time > args.max_waiting_mins * 60 and (not first_eval):
