@@ -35,7 +35,14 @@ from ...ops.sampling import (
     farthest_point_sample_features,
     ry_fps,
 )
-from ..blocks import DenseBNReLU, DensityNet, MLPStack, TransformerEncoderLayerPreNorm
+from ..blocks import (
+    CBAM,
+    DenseBNReLU,
+    DensityNet,
+    EncoderLayer,
+    MLPStack,
+    TransformerEncoderLayerPreNorm,
+)
 
 
 def sample_indices(
@@ -151,6 +158,11 @@ class SAModuleWithSampling(nn.Module):
     confidence_mlp: Optional[Sequence[int]]
     num_class: int
     compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
+    # Proposal_Aware ablation (pointnet2_modules.py:1048-1321): CBAM
+    # spatial attention over the aggregated features before the
+    # confidence layers.  Dead in the reference (class never
+    # instantiated); enabled via SA_CONFIG.PROPOSAL_AWARE_CBAM.
+    use_cbam: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, cls_features=None, ctr_xyz=None,
@@ -217,6 +229,11 @@ class SAModuleWithSampling(nn.Module):
         else:
             new_features = gather_points(features, sampled_idx)
 
+        if self.use_cbam:
+            # Proposal_Aware applies CBAM after aggregation, before the
+            # confidence layers (pointnet2_modules.py:1318-1321)
+            new_features = CBAM(name="cbam")(new_features)
+
         cls_preds = None
         if self.confidence_mlp:
             h = MLPStack(
@@ -250,6 +267,15 @@ class SAModuleEllipsoid(nn.Module):
     confidence_mlp: Optional[Sequence[int]]
     num_class: int
     compute_dtype: Optional[Any] = None  # eval-only (blocks._infer_dtype)
+    # No_Global ablation (pointnet2_modules.py:130-539): drop the global
+    # branch — 3-token fusion (rppe | density-scaled | raw), transformer
+    # d_model 3d instead of 4d.  Selected via SA_CONFIG.PDA_VARIANT:
+    # no_global (the reference selects it only by editing
+    # IASSD_backbone.py:81).
+    use_global: bool = True
+    # EncoderLayer/FullAttention ablation (pointnet2_modules.py:1325-1414)
+    # as the K-neighbor fuser: SA_CONFIG.POINTFORMER_IMPL: encoder_layer.
+    pointformer_impl: str = "pre_norm"
 
     @nn.compact
     def __call__(self, xyz, features, cls_features=None, ctr_xyz=None,
@@ -285,7 +311,11 @@ class SAModuleEllipsoid(nn.Module):
 
         if len(self.radii) > 0:
             # (B, M, 3 + C): per-center global descriptor (:748)
-            global_input = jnp.concatenate([new_xyz, new_xyz_feature], axis=-1)
+            global_input = (
+                jnp.concatenate([new_xyz, new_xyz_feature], axis=-1)
+                if self.use_global
+                else None
+            )
             # one shared distance field for all MSG radii
             idx_list = ball_query_multi(
                 tuple(self.radii), tuple(self.nsamples), xyz, new_xyz
@@ -316,21 +346,36 @@ class SAModuleEllipsoid(nn.Module):
                     (d // 2, d), dtype=self.compute_dtype,
                     name=f"position_mlp_{i}",
                 )(rppe, train)
-                # (c) global branch, broadcast over K (:787)
-                g = MLPStack(
-                    (d, d), dtype=self.compute_dtype,
-                    name=f"global_mlps_{i}",
-                )(global_input, train)
-                g_k = jnp.broadcast_to(g[:, :, None, :], rppe.shape[:3] + (d,))
-                # fuse: (B, M, K, 4d) -> transformer over K -> maxpool -> fin_conv
-                fused = jnp.concatenate([rppe, feat_density, grouped_feats, g_k], axis=-1)
-                fused = TransformerEncoderLayerPreNorm(
-                    d_model=4 * d,
-                    nhead=4,
-                    dim_feedforward=2 * d,
-                    dtype=self.compute_dtype,
-                    name=f"Local_pointformer_{i}",
-                )(fused, train)
+                if self.use_global:
+                    # (c) global branch, broadcast over K (:787)
+                    g = MLPStack(
+                        (d, d), dtype=self.compute_dtype,
+                        name=f"global_mlps_{i}",
+                    )(global_input, train)
+                    g_k = jnp.broadcast_to(
+                        g[:, :, None, :], rppe.shape[:3] + (d,)
+                    )
+                    branches = [rppe, feat_density, grouped_feats, g_k]
+                else:
+                    # No_Global (:497-505): 3-token fusion, d_model 3d
+                    branches = [rppe, feat_density, grouped_feats]
+                # fuse: (B, M, K, n*d) -> transformer over K -> maxpool -> fin_conv
+                fused = jnp.concatenate(branches, axis=-1)
+                if self.pointformer_impl == "encoder_layer":
+                    fused = EncoderLayer(
+                        d_model=len(branches) * d,
+                        nhead=4,
+                        dtype=self.compute_dtype,
+                        name=f"Local_pointformer_{i}",
+                    )(fused, train)
+                else:
+                    fused = TransformerEncoderLayerPreNorm(
+                        d_model=len(branches) * d,
+                        nhead=4,
+                        dim_feedforward=2 * d,
+                        dtype=self.compute_dtype,
+                        name=f"Local_pointformer_{i}",
+                    )(fused, train)
                 pooled = max_first(fused, 2)  # (B, M, 4d); torch tie grads
                 out = MLPStack(
                     (2 * d, self.mlps[i][-1]), dtype=self.compute_dtype,
@@ -484,6 +529,24 @@ class IASSDBackbone(nn.Module):
                     mlps_eff = [[m[0] + 3] + m[1:] for m in mlps]
                 else:
                     mlps_eff = mlps
+                # Ablation-variant switches (reference: source-edit-only;
+                # pointnet2_modules.py:130-539 No_Global, :1048-1321
+                # Proposal_Aware/CBAM, :1325-1414 EncoderLayer)
+                variant_kw = {}
+                if cls is SAModuleEllipsoid:
+                    pda_variant = str(sa_cfg.get("PDA_VARIANT", "ellipsoid"))
+                    if pda_variant not in ("ellipsoid", "no_global"):
+                        raise NotImplementedError(
+                            f"PDA_VARIANT={pda_variant}"
+                        )
+                    variant_kw["use_global"] = pda_variant != "no_global"
+                    variant_kw["pointformer_impl"] = str(
+                        sa_cfg.get("POINTFORMER_IMPL", "pre_norm")
+                    )
+                else:
+                    variant_kw["use_cbam"] = bool(
+                        sa_cfg.get("PROPOSAL_AWARE_CBAM", False)
+                    )
                 modules.append(
                     cls(
                         npoint_list=tuple(sa_cfg.NPOINT_LIST[k]),
@@ -497,6 +560,7 @@ class IASSDBackbone(nn.Module):
                         num_class=self.num_class,
                         compute_dtype=compute_dtype,
                         name=f"SA_modules_{k}",
+                        **variant_kw,
                     )
                 )
             elif self.layer_types[k] == "Vote_Layer":

@@ -207,6 +207,73 @@ class NeighborMHAPallas(nn.Module):
         return out.reshape(B, M, K, D)
 
 
+class CBAM(nn.Module):
+    """Spatial attention block of the Proposal_Aware SA ablation
+    (pointnet2_modules.py:1010-1046).
+
+    As executed there, only the spatial half is live (the channel half is
+    commented out): per point, max- and mean-pool over the CHANNEL axis,
+    concat to 2 channels, a bias-free 2->1 conv, sigmoid, and scale the
+    input.  Channels-last here: input (B, N, C) — the reference's
+    (B, C, N) with its transposes folded away.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        mp = jnp.max(x, axis=-1, keepdims=True)   # (B, N, 1)
+        ap = jnp.mean(x, axis=-1, keepdims=True)  # (B, N, 1)
+        w = nn.Dense(1, use_bias=False, name="conv_layer")(
+            jnp.concatenate([mp, ap], axis=-1)
+        )
+        return x * jax.nn.sigmoid(w)
+
+
+class EncoderLayer(nn.Module):
+    """The FullAttention encoder-layer ablation
+    (pointnet2_modules.py:1325-1414).
+
+    Differences from ``TransformerEncoderLayerPreNorm``: bias-free q/k/v/
+    merge projections, a bias-free d->2d->d feed-forward, and the
+    CONVENTIONAL pre-norm residual (the un-normalized input is the
+    residual base — unlike PointFormer's quirk), with softmax temperature
+    1/sqrt(hd) applied to the logits exactly as FullAttention does.
+    Never instantiated in the reference (dead ablation code); selectable
+    here via ``SA_CONFIG.POINTFORMER_IMPL: encoder_layer``.
+    """
+
+    d_model: int
+    nhead: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        dt = _infer_dtype(self.dtype, train)
+        ln_dt = _norm_dtype(self.dtype, train)
+        hd = self.d_model // self.nhead
+        *batch, K, D = x.shape
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1",
+                         use_fast_variance=False)(x)
+        q = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="q_proj")(h)
+        k = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="k_proj")(h)
+        v = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="v_proj")(h)
+        shp = tuple(batch) + (K, self.nhead, hd)
+        att = nn.dot_product_attention(
+            q.reshape(shp), k.reshape(shp), v.reshape(shp)
+        ).reshape(tuple(batch) + (K, self.d_model))
+        message = nn.Dense(self.d_model, use_bias=False, dtype=dt,
+                           name="merge")(att)
+        message = message + residual
+        residual = message
+        h = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm2",
+                         use_fast_variance=False)(message)
+        h = nn.Dense(2 * self.d_model, use_bias=False, dtype=dt,
+                     name="mlp_0")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="mlp_1")(h)
+        return residual + h
+
+
 class TransformerEncoderLayerPreNorm(nn.Module):
     """Pre-norm self-attention over the K neighbors of each center.
 
@@ -231,7 +298,15 @@ class TransformerEncoderLayerPreNorm(nn.Module):
     attention_impl: Optional[str] = None
 
     def _pallas_impl(self, train: bool, K: int):
-        """Returns None (use flax) or an interpret flag for the kernel."""
+        """Returns None (use flax) or an interpret flag for the kernel.
+
+        Train-time dispatch (re-measured r5, v5e b2 KITTI, 20-step scan
+        harness): in f32 the fused kernel+VJP is a net LOSS at train
+        (27.4 vs 26.3 ms/step — the backward's extra softmax recompute
+        outweighs the saved relayouts), but under bf16 train compute it
+        flips to a win (21.0 vs 21.4 ms/step), consistent with the eval
+        policy.  So: eval always eligible; train eligible only when the
+        module runs bf16 train compute (``TrainEvalDtype``)."""
         import os
 
         from ..ops.pallas import attention as pallas_attn
@@ -248,7 +323,7 @@ class TransformerEncoderLayerPreNorm(nn.Module):
         if impl == "pallas":  # force (perf probes), bypasses profitability
             return {"interpret": False}
         if (
-            not train
+            (not train or isinstance(self.dtype, TrainEvalDtype))
             and jax.default_backend() == "tpu"
             and pallas_attn.profitable_shape(
                 K, self.nhead, self.d_model // self.nhead
