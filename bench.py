@@ -12,10 +12,14 @@ times, eval_utils.py:56-76) on a LiDAR-like structured cloud.  The
   kitti_b8_e2e_ms            batch-8 eval config e2e (forward + NMS)
   once_b2_forward_ms         ONCE config, 2 x 60k points, per batch
   once_b2_e2e_ms             ONCE forward + in-graph NMS, per batch
-  kitti_b2_train_ms          fused train step (fwd+bwd+optax), per step
-  kitti_b2_train_bf16_ms     same with TRAIN_COMPUTE_DTYPE=bf16 (f32 master
-                             weights, bf16 matmuls, f32 norm statistics)
+  kitti_b2_train_ms          fused train step (fwd+bwd+optax), per step,
+                             config AS SHIPPED (r5: bf16 train compute —
+                             f32 master weights/optimizer/norm stats)
+  kitti_b2_train_f32_ms      same with TRAIN_COMPUTE_DTYPE removed
+                             (reference f32 numerics; r2-r4 comparable)
   once_b2_train_ms           ONCE-scale fused train step, per step
+                             (as shipped = bf16 train compute)
+  once_b2_train_f32_ms       ONCE train step, f32 numerics
   vs_baseline_at_80fps       sensitivity: the public IA-SSD ~80 fps 2080 Ti
                              figure as denominator instead of 25
 
@@ -278,6 +282,10 @@ def main():
             best = min(best, (time.perf_counter() - t0) / K)
         return best
 
+    # The shipped PDA-SSD.yaml now defaults TRAIN_COMPUTE_DTYPE: bf16
+    # (r5) — kitti_b2_train_ms measures the config AS SHIPPED; the f32
+    # companion (reference numerics, TRAIN_COMPUTE_DTYPE removed) keeps
+    # the r2-r4 history comparable.
     tpts = jnp.asarray(lidar_like_cloud(13, 2, 16384))
     gt2 = _fake_gt(2)
     try:
@@ -286,36 +294,49 @@ def main():
     except Exception as e:
         results["kitti_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # bf16 compute (f32 master weights + bf16 matmuls, f32 BN/LN stats) —
-    # BACKBONE_3D.TRAIN_COMPUTE_DTYPE, semantics pinned by
-    # tests/test_train.py::test_bf16_train_compute
     try:
         import copy
 
         from pdanet_tpu.models import build_network as _bn
 
-        cfg16 = copy.deepcopy(cfg)
-        cfg16.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
-        model16 = _bn(cfg16.MODEL, num_class=len(cfg.CLASS_NAMES),
+        cfg32 = copy.deepcopy(cfg)
+        cfg32.MODEL.BACKBONE_3D.pop("TRAIN_COMPUTE_DTYPE", None)
+        model32 = _bn(cfg32.MODEL, num_class=len(cfg.CLASS_NAMES),
                       input_channels=4)
-        t = time_train_step(model16, cfg.OPTIMIZATION, tpts, gt2)
-        results["kitti_b2_train_bf16_ms"] = round(t * 1e3, 2)
+        t = time_train_step(model32, cfg.OPTIMIZATION, tpts, gt2)
+        results["kitti_b2_train_f32_ms"] = round(t * 1e3, 2)
     except Exception as e:
-        results["kitti_b2_train_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
+        results["kitti_b2_train_f32_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ONCE train step (VERDICT r3 #4): B=2 x 60000, the reference recipe
+    # (as shipped = bf16 train compute), plus the f32 companion
     if omodel is None:  # don't mask the root-cause ONCE build error
         results["once_b2_train_error"] = "once model unavailable (see once_b2_forward_error)"
     else:
+        otpts = jnp.asarray(
+            lidar_like_cloud(17, 2, 60000, x_range=(0.0, 75.0))
+        )
         try:
-            otpts = jnp.asarray(
-                lidar_like_cloud(17, 2, 60000, x_range=(0.0, 75.0))
-            )
             t = time_train_step(omodel, ocfg.OPTIMIZATION, otpts,
                                 _fake_gt(2, 6), K=8)
             results["once_b2_train_ms"] = round(t * 1e3, 2)
         except Exception as e:
             results["once_b2_train_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            import copy
+
+            from pdanet_tpu.models import build_network as _bn
+
+            ocfg32 = copy.deepcopy(ocfg)
+            ocfg32.MODEL.BACKBONE_3D.pop("TRAIN_COMPUTE_DTYPE", None)
+            omodel32 = _bn(ocfg32.MODEL, num_class=len(ocfg.CLASS_NAMES),
+                           input_channels=4)
+            t = time_train_step(omodel32, ocfg.OPTIMIZATION, otpts,
+                                _fake_gt(2, 6), K=8)
+            results["once_b2_train_f32_ms"] = round(t * 1e3, 2)
+        except Exception as e:
+            results["once_b2_train_f32_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
 
     results["vs_baseline_at_80fps"] = round(headline_fps / REF_2080TI_FPS_HIGH, 3)
     print(

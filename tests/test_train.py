@@ -317,3 +317,44 @@ def test_bf16_train_compute(train_setup):
     )
     # and it learns
     assert losses["bf16"][-1] < losses["bf16"][0]
+
+
+def test_bf16_loss_trajectory(train_setup):
+    """bf16-justified trajectory twin (VERDICT r4 next#1b): from one init
+    on one frozen batch, the bf16 train trajectory must track f32
+    step-for-step within 5% relative loss over 12 steps.
+
+    Tolerance justification: one bf16 matmul rounds at ~2^-8 relative;
+    measured drift on this recipe is <= 1.0% over 12 steps (r5,
+    max-rel 0.0098 at step 8 — /tmp drift probe committed to STATUS), so
+    5% gives 5x headroom for MXU accumulation-order differences while
+    still catching any systematic semantics gap (a mis-cast BN stat or a
+    dropped f32 force-cast moves the loss tens of percent within a few
+    steps)."""
+    import copy
+
+    cfg, model, tx, state, pts, gt = train_setup
+    cfg16 = copy.deepcopy(cfg)
+    cfg16.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
+    model16 = build_network(cfg16, num_class=3, input_channels=4)
+    variables = jax.jit(
+        lambda r, p: model.init({"params": r}, p, train=False)
+    )(jax.random.PRNGKey(0), pts)
+
+    mesh = make_data_mesh(jax.devices()[:1])
+    batch = shard_batch(mesh, {"points": pts, "gt_boxes": gt})
+    traj = {}
+    for name, mdl in (("f32", model), ("bf16", model16)):
+        st = replicate(mesh, create_train_state(
+            mdl, jax.tree.map(jnp.array, variables), tx))
+        step = jit_train_step(make_train_step(mdl, tx), mesh)
+        seq = []
+        for _ in range(12):
+            st, loss, _ = step(st, batch)
+            seq.append(float(loss))
+        traj[name] = seq
+    rel = [abs(a - b) / abs(a) for a, b in zip(traj["f32"], traj["bf16"])]
+    assert max(rel) <= 0.05, (traj, rel)
+    # both learn
+    assert traj["bf16"][-1] < traj["bf16"][0]
+    assert traj["f32"][-1] < traj["f32"][0]

@@ -6,7 +6,7 @@ fused train steps (fwd + bwd + optax) on the real chip and aggregates
 XLA-op durations from the xplane proto, bucketing into kernel families
 (matmul, scatter(-add), gather, fps, ball-query, fusion, copy/layout).
 
-Usage: python tools/probes/train_profile_probe.py [f32|bf16] [B]
+Usage: python tools/probes/train_profile_probe.py [f32|bf16] [B] [kitti|once]
 """
 
 import glob
@@ -31,25 +31,32 @@ N_STEPS = 3
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "f32"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    ds = sys.argv[3] if len(sys.argv) > 3 else "kitti"
 
-    from __graft_entry__ import _load_cfg
-    from pdanet_tpu.models import build_network
+    from bench import build_model, lidar_like_cloud
     from pdanet_tpu.train import (
         build_optimizer_and_schedule,
         create_train_state,
         make_train_step,
     )
 
-    cfg = _load_cfg()
+    cfg_path = (
+        "tools/cfgs/once_models/PDA-SSD.yaml" if ds == "once"
+        else "tools/cfgs/kitti_models/PDA-SSD.yaml"
+    )
+    cfg, model = build_model(cfg_path)
     if mode == "bf16":
         cfg.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
-    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                          input_channels=4)
+        from pdanet_tpu.models import build_network
+
+        model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                              input_channels=4)
+    if ds == "once":
+        points = jnp.asarray(
+            lidar_like_cloud(11, B, 60000, x_range=(0.0, 75.0)))
+    else:
+        points = jnp.asarray(lidar_like_cloud(13, B, 16384))
     rng = np.random.RandomState(0)
-    pts = rng.uniform(-35, 35, (B, 16384, 4)).astype(np.float32)
-    pts[..., 2] = pts[..., 2] / 12.0
-    pts = np.take_along_axis(pts, np.argsort(pts[..., 0], axis=1)[..., None], 1)
-    points = jnp.asarray(pts)
     gt = np.zeros((B, 40, 8), np.float32)
     for b in range(B):
         for m in range(12):
@@ -68,7 +75,7 @@ def main():
     state2, loss, _ = step(state, {"points": points, "gt_boxes": gt})
     print(f"compiled ({mode}); loss {float(loss):.3f}")
 
-    logdir = f"/tmp/train_trace_{mode}"
+    logdir = f"/tmp/train_trace_{ds}_{mode}"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
         st = state
@@ -99,11 +106,24 @@ def main():
             continue
         fam = defaultdict(float)
         for k, v in agg.items():
-            lk = k.lower()
+            # The event name is the FULL HLO instruction text; classify on
+            # the DEFINED name only, else fusions whose operand lists
+            # mention %copy.N / %bitcast.N land in "copy/layout" (this bug
+            # inflated the r4 copy number 19.8 -> true ~7 ms; see
+            # copy_decomp_probe.py for the opcode-exact split).
+            lk = k.split(" = ")[0].strip().lstrip("%").lower()
             if "fps" in lk or "farthest" in lk:
                 key = "fps-kernel"
             elif "ball" in lk or "bq_" in lk:
                 key = "ball-query"
+            elif "fusion" in lk:
+                # fusion names carry their root descriptor
+                if "conv" in lk or "dot" in lk:
+                    key = "matmul/conv(fused)"
+                elif "scatter" in lk:
+                    key = "scatter(-add)"
+                else:
+                    key = "fusion(elementwise+)"
             elif "scatter" in lk:
                 key = "scatter(-add)"
             elif "gather" in lk or "dynamic-slice" in lk:
@@ -114,8 +134,6 @@ def main():
                 key = "sort"
             elif "copy" in lk or "transpose" in lk or "bitcast" in lk:
                 key = "copy/layout"
-            elif "fusion" in lk:
-                key = "fusion(elementwise+)"
             elif "all-reduce" in lk or "reduce" in lk:
                 key = "reduce"
             else:
@@ -123,7 +141,7 @@ def main():
             fam[key] += v
         tot = sum(agg.values())
         print(f"== {plane.name}: total {tot*1e3:.2f} ms "
-              f"({tot*1e3/N_STEPS:.2f} ms/step, mode={mode}, B={B})")
+              f"({tot*1e3/N_STEPS:.2f} ms/step, ds={ds}, mode={mode}, B={B})")
         for k, v in sorted(fam.items(), key=lambda kv: -kv[1]):
             print(f"  {v*1e3/N_STEPS:9.3f} ms/step  {k}")
         print("-- top single ops:")

@@ -6,7 +6,7 @@ the tracked 43.3 ms/step figure was read.  Compares the attention
 implementations: flax einsum (current train-path default) vs the fused
 Pallas kernel + VJP (PDANET_ATTENTION_IMPL=pallas forces it for train).
 
-Usage: python tools/probes/train_step_probe.py [flax|pallas]
+Usage: python tools/probes/train_step_probe.py [flax|pallas] [f32|bf16]
 """
 
 import os
@@ -28,7 +28,9 @@ K_STEPS = 20
 
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "flax"
-    os.environ["PDANET_ATTENTION_IMPL"] = impl
+    mode = sys.argv[2] if len(sys.argv) > 2 else "f32"
+    if impl != "auto":  # auto = the shipped dispatch policy
+        os.environ["PDANET_ATTENTION_IMPL"] = impl
 
     from __graft_entry__ import _load_cfg
     from pdanet_tpu.models import build_network
@@ -39,6 +41,8 @@ def main():
     )
 
     cfg = _load_cfg()
+    if mode == "bf16":
+        cfg.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           input_channels=4)
     rng = np.random.RandomState(0)
@@ -77,7 +81,7 @@ def main():
         st2, losses = fn(st2, batch)
         np.asarray(losses[-1])  # force D2H: block_until_ready returns early
         best = min(best, (time.perf_counter() - t0) / K_STEPS)
-    print(f"attention={impl}: train step {best * 1e3:.1f} ms "
+    print(f"attention={impl} dtype={mode}: train step {best * 1e3:.1f} ms "
           f"({best * 1e3 / 2:.1f} ms/frame), last loss {float(losses[-1]):.1f}")
 
 
