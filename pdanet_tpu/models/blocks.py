@@ -33,17 +33,21 @@ class TrainEvalDtype:
     ``dtype``.  Normalization statistics (BN batch mean/var, LN) remain
     f32 during training — see the ``bn_dtype`` handling below.
 
-    Measured on v5e, b2 KITTI shapes (bench.py fori-loop harness):
-    round-2 code measured bf16 train SLOWER than f32 (41 -> 59 ms/step —
-    conversion-bound); after the round-3 flat-gather rewrite the sign
-    FLIPPED: f32 31.8 -> bf16 27.0 ms/step (-15%), and the xplane
-    profile shows the remaining top cost is layout-relayout copies of
-    the grouped (B, M, K, C) tensors (19.8 ms f32 / 13.8 ms bf16 per
-    step), not matmul or gather work.  Two restructuring attempts are
-    recorded as negatives in DenseBNReLU / TransformerEncoderLayerPreNorm
-    below.  Default stays f32 (reference numerics; the trajectory twin
-    is pinned on f32 semantics); bf16 is the recommended TPU fast path
-    (semantics guarded by tests/test_train.py::test_bf16_train_compute)."""
+    Measured on v5e, b2 KITTI shapes: round-2 code measured bf16 train
+    SLOWER than f32 (41 -> 59 ms/step — conversion-bound); after the
+    round-3 flat-gather rewrite the sign FLIPPED (scan harness: f32 26.3
+    -> bf16 21.4 ms/step; with the Pallas attention train dispatch 20.4).
+    r5 CORRECTION to the r4 analysis: the "19.8 ms layout-copy family"
+    was a profiler misattribution — xplane event names carry the full
+    HLO text, so fusions whose OPERANDS were copies were bucketed as
+    copies; the opcode-exact split (tools/probes/copy_decomp_probe.py)
+    shows true copies are ~2.2 ms and the dominant cost was the flax
+    einsum attention's fwd+bwd (~12 ms f32).  Two restructuring attempts
+    remain recorded as negatives in DenseBNReLU /
+    TransformerEncoderLayerPreNorm below.  Since r5 the shipped PDA-SSD
+    yamls default TRAIN_COMPUTE_DTYPE: bf16 (f32 reference numerics one
+    config-line away; semantics guarded by tests/test_train.py::
+    test_bf16_train_compute and ::test_bf16_loss_trajectory)."""
 
     dtype: Any
 
@@ -78,12 +82,12 @@ class DenseBNReLU(nn.Module):
     def __call__(self, x, train: bool):
         dt = _infer_dtype(self.dtype, train)
         # NOTE (r4 measured negative): flattening leading dims to run the
-        # dot as a 2-D GEMM — hoping to remove the backward's M-minor
-        # relayout copies (the b2 train profile's #1 cost family,
-        # tools/probes/train_profile_probe.py) — made the step WORSE
-        # (30.4 -> 33.6 ms/step, copies 19.8 -> 22.2): the M-minor
-        # layouts are demanded by the 4-branch channel concat downstream,
-        # and local reshapes only add conversion points.
+        # dot as a 2-D GEMM made the b2 train step WORSE (30.4 -> 33.6
+        # ms/step): the M-minor layouts are demanded by the 4-branch
+        # channel concat downstream, and local reshapes only add
+        # conversion points.  (r5: the "copy family" motivating this
+        # attempt was a profiler misattribution — see TrainEvalDtype —
+        # but the negative result stands on its own.)
         x = nn.Dense(
             self.features, use_bias=self.use_bias, dtype=dt, name="dense"
         )(x)
@@ -336,6 +340,14 @@ class TransformerEncoderLayerPreNorm(nn.Module):
     def __call__(self, x, train: bool):
         dt = _infer_dtype(self.dtype, train)
         ln_dt = _norm_dtype(self.dtype, train)
+        # NOTE (r5 measured near-negative): the two-pass variance
+        # materializes f32 converts of the (B, M, K, D) activations under
+        # bf16 compute (~5 ms attributed on the ONCE b2 forward,
+        # copy_decomp_probe).  Switching eval to fast single-pass
+        # variance recovered only 1.0 ms ONCE / 0.03 ms KITTI e2e (the
+        # converts fuse better than the attribution suggested) while
+        # perturbing decoded boxes through discrete bin flips — keep the
+        # torch-parity two-pass form everywhere.
         # x: (B, M, K, D)
         pallas = self._pallas_impl(train, x.shape[-2])
         x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dt, name="norm1",
@@ -350,10 +362,11 @@ class TransformerEncoderLayerPreNorm(nn.Module):
             )(x)
         else:
             # NOTE (r4 measured negative): flattening (B, M) into one
-            # batch dim before this einsum attention — hoping to reduce
-            # the 5-D QKV layout copies XLA emits — made the b2 train
-            # step WORSE (30.4 -> 35.3 ms/step, copies 19.8 -> 22.3;
+            # batch dim before this einsum attention made the b2 train
+            # step WORSE (30.4 -> 35.3 ms/step;
             # tools/probes/train_profile_probe.py); keep the 4-D form.
+            # (The bf16 train path dispatches the Pallas kernel instead
+            # — see _pallas_impl.)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.nhead,
                 qkv_features=self.d_model,

@@ -327,16 +327,18 @@ def boxes_iou_bev_batched_self(boxes):
     """(B, K, 7) -> (B, K, K) self-IoU — the NMS suppression matrix.
 
     Dispatches to the VMEM-tiled Pallas kernel on TPU at NMS scale
-    (K >= 512, where the XLA path's HBM-materialized 24-candidate
-    tensors + angular lax.sort dominate the post-processing cost — see
-    ops/pallas/rotated_iou.py), and to the vmapped XLA kernel elsewhere.
-    NMS consumption is discrete, hence the stop_gradient."""
+    (K >= 256: r4 measured the ONCE K=1024 win — e2e 87.9 -> 66.7 ms;
+    r5 measured KITTI's K=256 — b1 e2e 6.44 -> 6.11 ms, b8 53.1 -> 50.4
+    ms, outputs bitwise identical — so the gate sits at the kernel's
+    K-tile floor), and to the vmapped XLA kernel elsewhere.  NMS
+    consumption is discrete, hence the stop_gradient."""
     import os
 
+    impl = os.environ.get("PDANET_IOU_IMPL")
     if (
         jax.default_backend() == "tpu"
-        and boxes.shape[1] >= 512
-        and os.environ.get("PDANET_IOU_IMPL") != "xla"
+        and (boxes.shape[1] >= 256 or impl == "pallas")
+        and impl != "xla"
     ):
         from .pallas.rotated_iou import boxes_iou_bev_self_pallas
 

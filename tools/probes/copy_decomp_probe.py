@@ -14,6 +14,7 @@ and prints the top copies as
   duration | shape | src-layout -> dst-layout | producer | consumer | jax op
 
 Usage: python tools/probes/copy_decomp_probe.py [f32|bf16] [B] [kitti|once]
+       [train|fwd]
 """
 
 import glob
@@ -115,12 +116,16 @@ def main():
         else "tools/cfgs/kitti_models/PDA-SSD.yaml"
     )
     cfg, model = build_model(cfg_path)
+    # the shipped yamls default TRAIN_COMPUTE_DTYPE: bf16 (r5) — set the
+    # requested mode explicitly either way and rebuild
+    from pdanet_tpu.models import build_network
+
     if mode == "bf16":
         cfg.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
-        from pdanet_tpu.models import build_network
-
-        model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                              input_channels=4)
+    else:
+        cfg.MODEL.BACKBONE_3D.pop("TRAIN_COMPUTE_DTYPE", None)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          input_channels=4)
     if ds == "once":
         points = jnp.asarray(
             lidar_like_cloud(11, B, 60000, x_range=(0.0, 75.0)))
@@ -138,33 +143,62 @@ def main():
     variables = jax.jit(lambda r, p: model.init({"params": r}, p, train=False))(
         jax.random.PRNGKey(0), points
     )
-    tx, _ = build_optimizer_and_schedule(cfg.OPTIMIZATION, 100, 80)
-    state = create_train_state(model, variables, tx)
-    step_fn = make_train_step(model, tx)
-    batch = {"points": points, "gt_boxes": gt}
-    lowered = jax.jit(step_fn).lower(state, batch)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    instrs = parse_hlo(hlo)
-    print(f"parsed {len(instrs)} HLO instructions")
+    phase = sys.argv[4] if len(sys.argv) > 4 else "train"
+    if phase == "fwd":
+        # eval forward (COMPUTE_DTYPE path incl. Pallas attention) — for
+        # itemizing the forward "remainder" (VERDICT r4 next#2)
+        def fwd_fn(variables, pts):
+            return model.apply(
+                variables, {"points": pts},
+                method=lambda m, b: m.forward_batch(b, train=False))
 
-    # consumers map
-    consumers = defaultdict(list)
-    for nm, ins in instrs.items():
-        for o in ins["operands"]:
-            if o in instrs:
-                consumers[o].append(nm)
+        fwd = jax.jit(fwd_fn)
+        compiled = fwd.lower(variables, points).compile()
+        hlo = compiled.as_text()
+        instrs = parse_hlo(hlo)
+        print(f"parsed {len(instrs)} HLO instructions (fwd)")
+        consumers = defaultdict(list)
+        for nm, ins in instrs.items():
+            for o in ins["operands"]:
+                if o in instrs:
+                    consumers[o].append(nm)
+        out = fwd(variables, points)
+        jax.block_until_ready(out)
+        logdir = f"/tmp/copy_trace_{ds}_{mode}_fwd"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            for i in range(N_STEPS):
+                out = fwd(variables, points + i * 1e-7)
+            jax.block_until_ready(out)
+    else:
+        tx, _ = build_optimizer_and_schedule(cfg.OPTIMIZATION, 100, 80)
+        state = create_train_state(model, variables, tx)
+        step_fn = make_train_step(model, tx)
+        batch = {"points": points, "gt_boxes": gt}
+        lowered = jax.jit(step_fn).lower(state, batch)
+        compiled = lowered.compile()
+        hlo = compiled.as_text()
+        instrs = parse_hlo(hlo)
+        print(f"parsed {len(instrs)} HLO instructions")
 
-    step = jax.jit(step_fn)
-    st, loss, _ = step(state, batch)
-    print(f"compiled ({mode}); loss {float(loss):.3f}")
-    logdir = f"/tmp/copy_trace_{ds}_{mode}"
-    os.system(f"rm -rf {logdir}")
-    with jax.profiler.trace(logdir):
-        st = state
-        for i in range(N_STEPS):
-            st, loss, _ = step(st, {"points": points + i * 1e-7, "gt_boxes": gt})
-        jax.block_until_ready(loss)
+        # consumers map
+        consumers = defaultdict(list)
+        for nm, ins in instrs.items():
+            for o in ins["operands"]:
+                if o in instrs:
+                    consumers[o].append(nm)
+
+        step = jax.jit(step_fn)
+        st, loss, _ = step(state, batch)
+        print(f"compiled ({mode}); loss {float(loss):.3f}")
+        logdir = f"/tmp/copy_trace_{ds}_{mode}"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            st = state
+            for i in range(N_STEPS):
+                st, loss, _ = step(
+                    st, {"points": points + i * 1e-7, "gt_boxes": gt})
+            jax.block_until_ready(loss)
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 

@@ -45,12 +45,16 @@ def main():
         else "tools/cfgs/kitti_models/PDA-SSD.yaml"
     )
     cfg, model = build_model(cfg_path)
+    # the shipped yamls default TRAIN_COMPUTE_DTYPE: bf16 (r5) — set the
+    # requested mode explicitly either way and rebuild
+    from pdanet_tpu.models import build_network
+
     if mode == "bf16":
         cfg.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
-        from pdanet_tpu.models import build_network
-
-        model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
-                              input_channels=4)
+    else:
+        cfg.MODEL.BACKBONE_3D.pop("TRAIN_COMPUTE_DTYPE", None)
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+                          input_channels=4)
     if ds == "once":
         points = jnp.asarray(
             lidar_like_cloud(11, B, 60000, x_range=(0.0, 75.0)))

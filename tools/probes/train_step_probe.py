@@ -41,8 +41,12 @@ def main():
     )
 
     cfg = _load_cfg()
+    # the shipped yaml defaults TRAIN_COMPUTE_DTYPE: bf16 (r5) — honor
+    # the requested mode explicitly either way
     if mode == "bf16":
         cfg.MODEL.BACKBONE_3D.TRAIN_COMPUTE_DTYPE = "bf16"
+    else:
+        cfg.MODEL.BACKBONE_3D.pop("TRAIN_COMPUTE_DTYPE", None)
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           input_channels=4)
     rng = np.random.RandomState(0)
