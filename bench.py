@@ -245,7 +245,10 @@ def main():
                             rs.uniform(-np.pi, np.pi), 1.0]
         return jnp.asarray(gt)
 
-    def time_train_step(mdl, optim_cfg, pts, gt, K=20):
+    def time_train_step(mdl, optim_cfg, pts, gt, K=40):
+        # K=40 matches the e2e loops' amortization (r5): at K=20 the
+        # ~35 ms relay RPC leaves a 1.75 ms/step residue on a 23.7 ms
+        # device step (xplane), overstating the step by ~7%.
         from pdanet_tpu.train import (
             build_optimizer_and_schedule,
             create_train_state,

@@ -141,3 +141,49 @@ def test_two_process_train_and_eval(cli_env, tmp_path):
             a["boxes_lidar"], b["boxes_lidar"], err_msg=a["frame_id"])
         np.testing.assert_array_equal(
             a["score"], b["score"], err_msg=a["frame_id"])
+
+
+@pytest.mark.slow
+def test_two_process_multidevice_train_eval(cli_env, tmp_path):
+    """2 OS processes x 2 virtual devices each = a 4-device global mesh
+    (VERDICT r4 next#7a): each rank's ``make_array_from_process_local_data``
+    must assemble a MULTI-device local shard (2 frames on 2 local devices
+    per process), exercising the true multi-host topology — per-process
+    addressable-device subsets, GSPMD all-reduce across all 4 — instead
+    of the world=2x1-device degenerate case."""
+    root, cfg_file, env = cli_env
+    env = dict(env)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    workdir = tmp_path / "dist_md"
+    workdir.mkdir()
+
+    # global batch = batch_size(1/device) * 4 devices = the 4-frame fixture
+    _run_pair(
+        "dist_train.sh",
+        ["--cfg_file", str(cfg_file), "--extra_tag", "distmd",
+         "--batch_size", "1", "--workers", "0",
+         "--num_epochs_to_eval", "1"],
+        workdir, env,
+    )
+    ckpts = sorted((workdir / "output").rglob("checkpoint_epoch_*.pkl"))
+    assert len(ckpts) == 1, f"expected exactly one rank-0 ckpt: {ckpts}"
+    train_eval_results = list(
+        (workdir / "output").rglob("eval_with_train/**/result.pkl"))
+    assert train_eval_results, "post-train distributed eval wrote no result"
+    with open(train_eval_results[0], "rb") as f:
+        annos = pickle.load(f)
+    assert len(annos) == 4
+
+    _run_pair(
+        "dist_test.sh",
+        ["--cfg_file", str(cfg_file), "--ckpt", str(ckpts[0]),
+         "--extra_tag", "distmd", "--batch_size", "2", "--workers", "0"],
+        workdir, env,
+    )
+    results = [p for p in (workdir / "output").rglob("result.pkl")
+               if "eval_with_train" not in str(p)]
+    assert results, "dist_test.sh produced no merged result.pkl"
+    with open(results[0], "rb") as f:
+        det_annos = pickle.load(f)
+    assert [a["frame_id"] for a in det_annos] == [
+        "%06d" % i for i in range(4)]
