@@ -125,10 +125,27 @@ def assign_stack_targets(
 def assign_targets(batch_out, gt_boxes, target_cfg, box_coder, num_class):
     """Full training-target assembly (IASSD_head.py:279-468).
 
+    The reference DETACHES every coordinate tensor before assignment
+    (``input_dict['centers'].detach()`` etc., IASSD_head.py:313,
+    400-457): targets — including the continuous box-label residuals
+    the coder encodes against the centers — are CONSTANTS, never a
+    gradient path into the votes.  r5 fixed this here (previously the
+    flax box labels were live in ``centers``; see the companion
+    centerness note at generate_center_ness_mask).
+
     Args:
         batch_out: backbone output dict (dense tensors).
         gt_boxes: (B, M, 8).
     """
+    batch_out = dict(batch_out)
+    for key in ("centers", "centers_origin"):
+        if batch_out.get(key) is not None:
+            batch_out[key] = jax.lax.stop_gradient(batch_out[key])
+    if batch_out.get("encoder_coords") is not None:
+        batch_out["encoder_coords"] = [
+            None if c is None else jax.lax.stop_gradient(c)
+            for c in batch_out["encoder_coords"]
+        ]
     B = gt_boxes.shape[0]
     ext = enlarge_box3d(
         gt_boxes.reshape(-1, gt_boxes.shape[-1]), target_cfg.GT_EXTRA_WIDTH
@@ -302,10 +319,21 @@ def contextual_vote_loss_ver2(forward_ret, num_boxes, weight):
 
 
 def generate_center_ness_mask(forward_ret):
-    """Box-geometry centerness (min/max)^(1/3) (IASSD_head.py:795-818)."""
+    """Box-geometry centerness (min/max)^(1/3) (IASSD_head.py:795-818).
+
+    The reference DETACHES the centers here
+    (``centers[pos_mask].clone().detach()``, IASSD_head.py:799) — the
+    centerness enters the cls loss as a constant TARGET, never as a
+    gradient path into the vote offsets.  r5 found this the hard way:
+    without the detach, early training (cls preds still ~0) has
+    dCE/dtarget = log((1-p)/p) > 0, i.e. the loss REWARDS pushing votes
+    AWAY from box centers to shrink the target — a metastable
+    "centerness suppression" basin the AP-parity capstone's torch twin
+    fell into on every run (positives 9-14 -> 0 by the LR peak, scores
+    pinned at ~1e-3) while the flax side happened to escape it."""
     pos = forward_ret["center_pos_mask"]
     gt = forward_ret["center_gt_box_of_points"]
-    centers = forward_ret["centers"]
+    centers = jax.lax.stop_gradient(forward_ret["centers"])
     off = centers - gt[..., 0:3]
     off_canon = rotate_points_along_z(off[..., None, :], -gt[..., 6])[..., 0, :]
     half = gt[..., 3:6] / 2.0

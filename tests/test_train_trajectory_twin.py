@@ -305,13 +305,18 @@ def torch_loss(fr, tgt, cfg, num_class, mean_size, bin_size):
         total_sa = total_sa + ce.mean(-1).sum() * w_list[i]
     sa_loss = total_sa / max(len(sa_labels) - ignored, 1)
 
-    # 3. center cls with box-geometry centerness (IASSD_head.py:637-664);
-    # the centerness mask is NOT detached in the reference — grad flows
-    # centers -> vote offsets
+    # 3. center cls with box-geometry centerness (IASSD_head.py:637-664).
+    # The reference DETACHES the centers inside generate_center_ness_mask
+    # (``.clone().detach()``, :799) — centerness is a constant target,
+    # not a gradient path into the votes.  (r5 correction: an earlier
+    # comment here claimed the opposite; the non-detached form has a
+    # metastable vote-suppression basin — see
+    # iassd_head.generate_center_ness_mask.)
     cls_w = _t_cls_weights(tgt["center_cls_labels"])
     one_hot = _t_one_hot_fg(tgt["center_cls_labels"], num_class)
     cness = _t_centerness_mask(
-        fr["centers"], tgt["center_pos_mask"], tgt["center_gt_box_of_points"])
+        fr["centers"].detach(), tgt["center_pos_mask"],
+        tgt["center_gt_box_of_points"])
     ce = _t_sigmoid_ce(fr["center_cls_preds"], one_hot * cness[..., None])
     cls_loss = (ce * cls_w[..., None]).mean(-1).sum() * lw["point_cls_weight"]
 
