@@ -61,6 +61,43 @@ def _make_frame(rng, n_bg=4000, n_car=300, n_ped=120,
     return pts, [("Car", car), ("Pedestrian", ped)]
 
 
+def _make_frame_objects(rng, objects, distractors=(), n_bg=200,
+                        bg_box=((4, 60), (-15, 15), (-1.8, 0.5))):
+    """Explicit-scene variant of ``_make_frame`` (AP-parity capstone,
+    VERDICT r4 next#3): ``objects`` is a list of
+    ``(cls, dict(center=, dims=, yaw=, npts=))`` — every labeled object
+    carries its own point budget (sparse objects make recall@0.7 < 1
+    attainable); ``distractors`` are UNLABELED point clusters
+    (dict(center=, dims=, yaw=, npts=)) that score-confident models must
+    not fire on."""
+    (x0, x1), (y0, y1), (z0, z1) = bg_box
+    pts = np.zeros((n_bg, 4), np.float32)
+    pts[:, 0] = rng.uniform(x0, x1, n_bg)
+    pts[:, 1] = rng.uniform(y0, y1, n_bg)
+    pts[:, 2] = rng.uniform(z0, z1, n_bg)
+    pts[:, 3] = rng.uniform(0, 1, n_bg)
+
+    def box_points(center, dims, yaw, n):
+        local = rng.uniform(-0.5, 0.5, (n, 3)) * np.asarray(dims)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        out = local @ rot.T + np.asarray(center)
+        return np.concatenate(
+            [out, rng.uniform(0, 1, (n, 1))], axis=1
+        ).astype(np.float32)
+
+    chunks = [pts]
+    for _, box in objects:
+        chunks.append(
+            box_points(box["center"], box["dims"], box["yaw"], box["npts"])
+        )
+    for box in distractors:
+        chunks.append(
+            box_points(box["center"], box["dims"], box["yaw"], box["npts"])
+        )
+    return np.concatenate(chunks), list(objects)
+
+
 def _label_line(cls, box, calib):
     """lidar box dict -> KITTI camera-frame label line."""
     from pdanet_tpu.utils import box_utils
@@ -78,7 +115,8 @@ def _label_line(cls, box, calib):
 
 
 def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300,
-                     n_ped=120, bg_box=((4, 60), (-15, 15), (-1.8, 0.5))):
+                     n_ped=120, bg_box=((4, 60), (-15, 15), (-1.8, 0.5)),
+                     frame_objects=None, frame_distractors=None):
     from PIL import Image
 
     from pdanet_tpu.utils.calibration_kitti import Calibration
@@ -91,11 +129,19 @@ def build_mini_kitti(root: Path, num_frames=3, seed=0, n_bg=4000, n_car=300,
 
     rng = np.random.RandomState(seed)
     ids = [f"{i:06d}" for i in range(num_frames)]
-    for idx in ids:
+    for fi, idx in enumerate(ids):
         (training / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
         (training / "planes" / f"{idx}.txt").write_text(PLANE_TXT)
         calib = Calibration(str(training / "calib" / f"{idx}.txt"))
-        pts, objs = _make_frame(rng, n_bg=n_bg, n_car=n_car, n_ped=n_ped, bg_box=bg_box)
+        if frame_objects is not None:
+            pts, objs = _make_frame_objects(
+                rng, frame_objects[fi],
+                distractors=(frame_distractors[fi]
+                             if frame_distractors else ()),
+                n_bg=n_bg, bg_box=bg_box)
+        else:
+            pts, objs = _make_frame(rng, n_bg=n_bg, n_car=n_car,
+                                    n_ped=n_ped, bg_box=bg_box)
         pts.tofile(str(training / "velodyne" / f"{idx}.bin"))
         lines = [_label_line(cls, box, calib) for cls, box in objs]
         (training / "label_2" / f"{idx}.txt").write_text("\n".join(lines) + "\n")
